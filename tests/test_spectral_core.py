@@ -1,0 +1,130 @@
+"""Unit tests for the spectral core: DHT round-trip, transforms, PSATD.
+
+Mirrors the reference's test strategy for the Hankel transform
+(/root/reference/tests/unautomated/test_hankel.py): self-inverse and
+accuracy on analytically-known transforms.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.special import jn, jn_zeros
+
+from fbpic_tpu.fields.hankel import dht_matrices
+from fbpic_tpu.fields.transform import (
+    TransformMatrices, interp2spect_scal, spect2interp_scal,
+    interp2spect_vect, spect2interp_vect,
+)
+from fbpic_tpu.fields.stencil import get_modified_k
+from fbpic_tpu.fields import GridConfig, build_field_aux, SpectralFields
+from fbpic_tpu.fields.psatd_push import push_eb_standard
+from fbpic_tpu.constants import c
+
+
+@pytest.mark.parametrize("m,p", [(0, 0), (0, 1), (1, 0), (1, 1), (1, 2),
+                                 (2, 1), (2, 2), (2, 3)])
+def test_dht_self_inverse(m, p):
+    """M @ invM should be the identity on the representable subspace."""
+    Nr = 64
+    rmax = 40.0e-6
+    M, invM, nu = dht_matrices(p, m, Nr, rmax)
+    # Round trip: start from spectral space (always representable)
+    G = np.random.RandomState(0).randn(Nr)
+    F = G @ invM
+    G2 = F @ M
+    if m != 0 and p != m - 1:
+        # The nu=0 mode column is projected out for m != 0, p != m-1
+        assert np.allclose(G2[1:], G[1:], atol=1e-9 * np.abs(G).max())
+    else:
+        assert np.allclose(G2, G, atol=1e-9 * np.abs(G).max())
+
+
+def test_dht_bessel_mode():
+    """A pure Bessel mode transforms to a single spectral coefficient."""
+    Nr = 128
+    rmax = 1.0
+    M, invM, nu = dht_matrices(0, 0, Nr, rmax)
+    r = (rmax / Nr) * (np.arange(Nr) + 0.5)
+    # 5th zero of J0
+    alpha = jn_zeros(0, 8)
+    F = jn(0, alpha[4] * r / rmax)
+    G = F @ M
+    # Spectral peak at index 4
+    assert np.argmax(np.abs(G)) == 4
+    assert np.abs(G[np.arange(Nr) != 4]).max() < 1e-8 * np.abs(G[4])
+
+
+def test_transform_roundtrip_batched():
+    """spect->interp->spect round trip for scalar and vector, all modes."""
+    Nm, Nz, Nr = 3, 32, 32
+    rmax = 20e-6
+    mats = TransformMatrices.build(Nm, Nr, rmax)
+    rng = np.random.RandomState(1)
+    G = jnp.asarray(rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr))
+
+    # Scalar
+    F = spect2interp_scal(mats, G)
+    G2 = interp2spect_scal(mats, F)
+    # Mode m>0 spectral index 0 is projected out by the scalar transform
+    np.testing.assert_allclose(G2[0], G[0], atol=1e-9)
+    np.testing.assert_allclose(G2[1:, :, 1:], G[1:, :, 1:], atol=1e-9)
+
+    # Vector
+    Gp = jnp.asarray(rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr))
+    Gm = jnp.asarray(rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr))
+    # Project out the nu=0 column for the + transform (p=m+1 > m-1)
+    Gp = Gp.at[1:, :, 0].set(0.0)
+    Fr, Ft = spect2interp_vect(mats, Gp, Gm)
+    Gp2, Gm2 = interp2spect_vect(mats, Fr, Ft)
+    np.testing.assert_allclose(np.asarray(Gp2), np.asarray(Gp), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Gm2), np.asarray(Gm), atol=1e-8)
+
+
+def test_modified_k_converges_to_true_k():
+    """High-order stencil's [k] approaches k at low frequency."""
+    Nz, dz = 128, 1e-7
+    k = 2 * np.pi * np.fft.fftfreq(Nz, dz)
+    k32 = get_modified_k(k, 32, dz)
+    low = np.abs(k) < 0.2 * np.abs(k).max()
+    np.testing.assert_allclose(k32[low], k[low], rtol=1e-5)
+    # Infinite order returns k itself
+    assert get_modified_k(k, -1, dz) is k
+
+
+def test_psatd_vacuum_energy_conservation():
+    """A vacuum mode pushed by PSATD conserves |E|^2 + c^2|B|^2 exactly."""
+    Nm, Nz, Nr = 2, 64, 32
+    rmax = 20e-6
+    dz = 1e-6
+    config = GridConfig(Nz=Nz, Nr=Nr, Nm=Nm, dz=dz, dr=rmax / Nr, rmax=rmax,
+                        dt=0.5 * dz / c)
+    aux = build_field_aux(config)
+    fld = SpectralFields.zeros(config)
+
+    rng = np.random.RandomState(3)
+    # A random transverse E field; B chosen as 0 (standing wave)
+    Ep = jnp.asarray(rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr))
+
+    def energy(Ep, Em, Ez, Bp, Bm, Bz):
+        # In the (+,-,z) basis |Fp|^2+|Fm|^2 = (|Fr|^2+|Ft|^2)/2, so the
+        # conserved quadratic form weights the z components by 1/2.
+        return (
+            np.sum(np.abs(Ep)**2 + np.abs(Em)**2 + 0.5 * np.abs(Ez)**2)
+            + c**2 * np.sum(np.abs(Bp)**2 + np.abs(Bm)**2
+                            + 0.5 * np.abs(Bz)**2)
+        )
+
+    E = [Ep, jnp.zeros_like(Ep), jnp.zeros_like(Ep)]
+    B = [jnp.zeros_like(Ep)] * 3
+    zeros = jnp.zeros_like(Ep)
+    e0 = energy(*E, *B)
+    for _ in range(20):
+        out = push_eb_standard(
+            *E, *B, zeros, zeros, zeros, zeros, zeros,
+            aux.rho_prev_coef, aux.rho_next_coef, aux.j_coef,
+            aux.C, aux.S_w, aux.kr, aux.kz, config.dt,
+        )
+        E = list(out[:3])
+        B = list(out[3:])
+    e1 = energy(*E, *B)
+    # Standing wave energy oscillates between E and B; total is conserved
+    assert abs(e1 - e0) / e0 < 1e-10
