@@ -1,0 +1,160 @@
+"""Particle state: fixed-capacity SoA pytree with validity-by-weight.
+
+TPU/XLA requires static shapes: particle arrays are allocated with a
+fixed capacity and unused slots carry ``w = 0`` (they deposit nothing and
+their push is harmless).  Injection / removal / ionization write into
+free slots instead of reallocating -- the one deep structural change vs
+the reference (/root/reference/fbpic/particles/particles.py), which
+reallocates numpy arrays dynamically.
+"""
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass, static_dataclass
+from ..utils.dtypes import real_dtype
+
+
+@static_dataclass
+class SpeciesConfig:
+    """Static per-species data (hashable; part of the jit closure)."""
+    q: float                  # charge [C] (elementary charge for ionizable)
+    m: float                  # mass [kg]
+    particle_shape: str = "linear"   # 'linear' or 'cubic'
+    is_tracer: bool = False
+    ionizable: bool = False
+    name: str = "species"
+
+
+@pytree_dataclass
+class ParticleState:
+    """SoA particle arrays of a single species, shape (capacity,)."""
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    ux: jax.Array
+    uy: jax.Array
+    uz: jax.Array
+    inv_gamma: jax.Array
+    w: jax.Array               # macroparticle weight; 0 marks a dead slot
+    ionization_level: Optional[jax.Array] = None  # uint8, ionizable species
+    ids: Optional[jax.Array] = None               # uint64, tracked species
+
+    @property
+    def capacity(self):
+        return self.x.shape[0]
+
+
+def _round_capacity(n, multiple=256):
+    return max(multiple, int(-(-n // multiple) * multiple))
+
+
+def make_particle_state(
+    x, y, z, ux, uy, uz, inv_gamma, w,
+    capacity=None, ionization_level=None, ids=None, dtype=None,
+) -> ParticleState:
+    """Pack numpy arrays into a padded, fixed-capacity ParticleState."""
+    dtype = dtype or real_dtype()
+    n = len(x)
+    cap = capacity if capacity is not None else _round_capacity(n)
+    if cap < n:
+        raise ValueError(f"capacity {cap} < number of particles {n}")
+
+    def pad(a, fill=0.0, dt=dtype):
+        out = np.full(cap, fill, dtype=np.float64)
+        out[:n] = a
+        return jnp.asarray(out, dtype=dt)
+
+    extra = {}
+    if ionization_level is not None:
+        lev = np.zeros(cap, dtype=np.uint8)
+        lev[:n] = ionization_level
+        extra["ionization_level"] = jnp.asarray(lev)
+    if ids is not None:
+        idarr = np.zeros(cap, dtype=np.uint64)
+        idarr[:n] = ids
+        extra["ids"] = jnp.asarray(idarr)
+
+    return ParticleState(
+        x=pad(x), y=pad(y), z=pad(z),
+        ux=pad(ux), uy=pad(uy), uz=pad(uz),
+        inv_gamma=pad(inv_gamma, fill=1.0),
+        w=pad(w, fill=0.0),
+        **extra,
+    )
+
+
+def unalign_angles(thetap, Npz, Npr, method="random", rng=None):
+    """Shift angles so particles are not aligned along radial 'star arms'.
+
+    Same shift for all Nptheta particles at one (z, r) position, which
+    preserves initially-zero azimuthal modes.  Reference:
+    /root/reference/fbpic/particles/injection/continuous_injection.py:275.
+    """
+    if method == "random":
+        rng = rng or np.random
+        angle_shift = 2 * np.pi * rng.random_sample((Npz, Npr))
+    elif method == "irrational":
+        # Golden-ratio increments: deterministic, low-discrepancy
+        i = np.arange(Npz * Npr).reshape(Npz, Npr)
+        angle_shift = 2 * np.pi * ((1 + np.sqrt(5)) / 2 * i % 1)
+    else:
+        raise ValueError(method)
+    thetap += angle_shift[:, :, np.newaxis]
+
+
+def _check_dens_func_arguments(dens_func):
+    import inspect
+    params = list(inspect.signature(dens_func).parameters.keys())
+    if params[:3] == ["x", "y", "z"]:
+        return ["x", "y", "z"]
+    return ["z", "r"]
+
+
+def generate_evenly_spaced(
+    Npz, zmin, zmax, Npr, rmin, rmax, Nptheta, n, dens_func,
+    ux_m=0.0, uy_m=0.0, uz_m=0.0, ux_th=0.0, uy_th=0.0, uz_th=0.0,
+    rng=None,
+):
+    """Evenly-spaced particle loading on a z*r*theta lattice (host, numpy).
+
+    Weights are density * cell volume (r dtheta dr dz), modulated by
+    dens_func.  Reference: continuous_injection.py:203-270.
+    """
+    rng = rng or np.random
+    if Npz * Npr * Nptheta > 0:
+        dz = (zmax - zmin) * 1.0 / Npz
+        z_reg = zmin + dz * (np.arange(Npz) + 0.5)
+        dr = (rmax - rmin) * 1.0 / Npr
+        r_reg = rmin + dr * (np.arange(Npr) + 0.5)
+        dtheta = 2 * np.pi / Nptheta
+        theta_reg = dtheta * np.arange(Nptheta)
+
+        zp, rp, thetap = np.meshgrid(z_reg, r_reg, theta_reg,
+                                     copy=True, indexing="ij")
+        unalign_angles(thetap, Npz, Npr, method="random", rng=rng)
+        r = rp.flatten()
+        x = r * np.cos(thetap.flatten())
+        y = r * np.sin(thetap.flatten())
+        z = zp.flatten()
+        w = n * r * dtheta * dr * dz
+        if dens_func is not None:
+            args = _check_dens_func_arguments(dens_func)
+            if args == ["x", "y", "z"]:
+                w = w * dens_func(x=x, y=y, z=z)
+            else:
+                w = w * dens_func(z=z, r=r)
+
+        selected = w > 0
+        Ntot = int(selected.sum())
+        x, y, z, w = x[selected], y[selected], z[selected], w[selected]
+        ux = ux_m * np.ones(Ntot) + ux_th * rng.normal(size=Ntot)
+        uy = uy_m * np.ones(Ntot) + uy_th * rng.normal(size=Ntot)
+        uz = uz_m * np.ones(Ntot) + uz_th * rng.normal(size=Ntot)
+        inv_gamma = 1.0 / np.sqrt(1 + ux**2 + uy**2 + uz**2)
+        return Ntot, x, y, z, ux, uy, uz, inv_gamma, w
+    else:
+        e = np.empty(0)
+        return 0, e, e, e, e, e, e, e, e
