@@ -1,0 +1,376 @@
+"""User-facing Simulation API, mirroring the reference's surface.
+
+The constructor/arguments follow /root/reference/fbpic/main.py:51-344 so
+that reference input scripts port over unchanged; internally everything
+is re-designed: the state is one pytree, the PIC cycle is one jit step.
+"""
+import dataclasses
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import c, e, m_e
+from ..fields.solver import (
+    GridConfig, FieldAux, SpectralFields, InterpFields, build_field_aux,
+)
+from ..fields import transform as tr
+from ..fields.smoothing import BinomialSmoother
+from ..particles.state import (
+    SpeciesConfig, ParticleState, generate_evenly_spaced, make_particle_state,
+)
+from .state import SimState
+from . import step as step_mod
+from .step import StepOptions, make_step
+
+
+def adapt_to_grid(x, p_xmin, p_xmax, p_nx, ncells_empty=0):
+    """Adapt p_xmin/p_xmax to fall exactly on the grid x.
+
+    Reference: /root/reference/fbpic/main.py:1056-1111.
+    """
+    xmin = x.min()
+    xmax = x.max()
+    dx = x[1] - x[0]
+
+    if p_xmin < xmin - 0.5 * dx:
+        p_xmin = xmin - 0.5 * dx
+    if p_xmax > xmax + (0.5 - ncells_empty) * dx:
+        p_xmax = xmax + (0.5 - ncells_empty) * dx
+
+    x_load = x[(x > p_xmin) & (x < p_xmax)]
+    Npx = len(x_load) * p_nx
+    if Npx > 0:
+        p_xmin = x_load.min() - 0.5 * dx
+        p_xmax = x_load.max() + 0.5 * dx
+    return p_xmin, p_xmax, Npx
+
+
+class SpeciesView:
+    """Numpy-flavored view of one species inside the device SimState.
+
+    Mimics the attribute access of the reference `Particles` object
+    (ptcl.x, ptcl.ux, ...) for input scripts and tests: reads return the
+    active slice as numpy; writes update the device state in place.
+    """
+    _arrays = ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w")
+
+    def __init__(self, sim, index):
+        object.__setattr__(self, "_sim", sim)
+        object.__setattr__(self, "_index", index)
+
+    @property
+    def _state(self) -> ParticleState:
+        return self._sim.state.species[self._index]
+
+    @property
+    def config(self) -> SpeciesConfig:
+        return self._sim.species_configs[self._index]
+
+    @property
+    def q(self):
+        return self.config.q
+
+    @property
+    def m(self):
+        return self.config.m
+
+    @property
+    def Ntot(self):
+        return self._sim._species_counts[self._index]
+
+    def __getattr__(self, name):
+        if name in self._arrays:
+            n = self._sim._species_counts[self._index]
+            return np.asarray(getattr(self._state, name))[:n]
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if name in self._arrays:
+            sim = self._sim
+            idx = self._index
+            n = sim._species_counts[idx]
+            sp = sim.state.species[idx]
+            arr = getattr(sp, name)
+            new = arr.at[:n].set(jnp.asarray(value, dtype=arr.dtype))
+            sp = dataclasses.replace(sp, **{name: new})
+            species = list(sim.state.species)
+            species[idx] = sp
+            sim.state = dataclasses.replace(sim.state,
+                                            species=tuple(species))
+        else:
+            object.__setattr__(self, name, value)
+
+
+class Simulation:
+    """Top-level simulation object (API-compatible with the reference)."""
+
+    def __init__(self, Nz, zmax, Nr, rmax, Nm, dt,
+                 p_zmin=-np.inf, p_zmax=np.inf, p_rmin=0, p_rmax=np.inf,
+                 p_nz=None, p_nr=None, p_nt=None, n_e=None, zmin=0.0,
+                 n_order=-1, dens_func=None, filter_currents=True,
+                 v_comoving=None, use_galilean=True,
+                 initialize_ions=False, use_cuda=False, n_guard=None,
+                 n_damp=None, exchange_period=None,
+                 current_correction="curl-free",
+                 boundaries=None,
+                 gamma_boost=None, use_all_mpi_ranks=True,
+                 particle_shape="linear", verbose_level=1,
+                 smoother=None, use_ruyten_shapes=True,
+                 use_modified_volume=True, random_seed=None):
+        if boundaries is None:
+            boundaries = {"z": "periodic", "r": "reflective"}
+        if isinstance(boundaries, str):
+            boundaries = {"z": boundaries, "r": "reflective"}
+
+        self.boundaries = boundaries
+        self.config = GridConfig(
+            Nz=Nz, Nr=Nr, Nm=Nm,
+            dz=(zmax - zmin) / Nz, dr=rmax / Nr, rmax=rmax, dt=dt,
+            n_order=n_order, v_comoving=v_comoving,
+            use_galilean=(use_galilean if v_comoving is not None else False),
+            use_pml=(boundaries.get("r") == "open"),
+            current_correction=current_correction,
+            particle_shape=particle_shape,
+            boundaries_z=boundaries.get("z", "periodic"),
+        )
+        self.zmax = zmax
+        self.dt = dt
+        self.filter_currents = filter_currents
+        self.use_galilean = self.config.use_galilean
+        self.v_comoving = v_comoving
+
+        self.boost = None
+        if gamma_boost is not None:
+            from ..lpa_utils.boosted_frame import BoostConverter
+            self.boost = BoostConverter(gamma_boost)
+
+        self.smoother = smoother or BinomialSmoother(1, False)
+        self.aux = build_field_aux(
+            self.config, self.smoother,
+            use_ruyten_shapes=use_ruyten_shapes,
+            use_modified_volume=use_modified_volume,
+        )
+
+        self._rng = np.random.RandomState(random_seed)
+
+        # Initial (empty) state
+        self.species_configs = []
+        self._species_counts = []
+        self.state = SimState(
+            spect=SpectralFields.zeros(self.config),
+            interp=InterpFields.zeros(self.config),
+            species=(),
+            time=jnp.asarray(0.0),
+            zmin=jnp.asarray(float(zmin)),
+            iteration=jnp.asarray(0, dtype=jnp.int32),
+        )
+
+        self.ptcl = []          # list of SpeciesView
+        self.diags = []
+        self.checkpoints = []
+        self.laser_antennas = []
+        self.external_fields = []
+        self.mirrors = []
+        self.comm = None        # populated by the multi-chip layer
+
+        self._step_fns = {}     # cache: StepOptions -> jitted step
+
+        # Create the initial electron species (reference behavior)
+        if n_e is not None:
+            self.add_new_species(
+                q=-e, m=m_e, n=n_e, dens_func=dens_func,
+                p_nz=p_nz, p_nr=p_nr, p_nt=p_nt,
+                p_zmin=p_zmin, p_zmax=p_zmax, p_rmin=p_rmin, p_rmax=p_rmax,
+            )
+            if initialize_ions:
+                self.add_new_species(
+                    q=e, m=1836.2 * m_e, n=n_e, dens_func=dens_func,
+                    p_nz=p_nz, p_nr=p_nr, p_nt=p_nt,
+                    p_zmin=p_zmin, p_zmax=p_zmax,
+                    p_rmin=p_rmin, p_rmax=p_rmax,
+                )
+
+    # -----------------------------------------------------------------
+    # Grid coordinate helpers
+    # -----------------------------------------------------------------
+    @property
+    def time(self):
+        return float(self.state.time)
+
+    @property
+    def iteration(self):
+        return int(self.state.iteration)
+
+    @property
+    def zmin(self):
+        return float(self.state.zmin)
+
+    def grid_z(self):
+        return self.zmin + (0.5 + np.arange(self.config.Nz)) * self.config.dz
+
+    def grid_r(self):
+        return (0.5 + np.arange(self.config.Nr)) * self.config.dr
+
+    # -----------------------------------------------------------------
+    # Species management
+    # -----------------------------------------------------------------
+    def add_new_species(self, q, m, n=None, dens_func=None,
+                        p_nz=None, p_nr=None, p_nt=None,
+                        p_zmin=-np.inf, p_zmax=np.inf,
+                        p_rmin=0, p_rmax=np.inf,
+                        uz_m=0.0, ux_m=0.0, uy_m=0.0,
+                        uz_th=0.0, ux_th=0.0, uy_th=0.0,
+                        continuous_injection=True,
+                        boost_positions_in_dens_func=False,
+                        is_tracer=False, capacity=None, name=None):
+        """Create a new species; returns a SpeciesView."""
+        if n is not None:
+            for var in (p_nz, p_nr, p_nt):
+                if var is None:
+                    raise ValueError(
+                        "If `n` is passed, `p_nz`, `p_nr`, `p_nt` are "
+                        "required too.")
+            p_zmin_, p_zmax_, Npz = adapt_to_grid(
+                self.grid_z(), p_zmin, p_zmax, p_nz)
+            p_rmin_, p_rmax_, Npr = adapt_to_grid(
+                self.grid_r(), p_rmin, p_rmax, p_nr)
+            Ntot, x, y, z, ux, uy, uz, inv_gamma, w = generate_evenly_spaced(
+                Npz, p_zmin_, p_zmax_, Npr, p_rmin_, p_rmax_, p_nt, n,
+                dens_func, ux_m, uy_m, uz_m, ux_th, uy_th, uz_th,
+                rng=self._rng)
+        else:
+            Ntot = 0
+            x = y = z = ux = uy = uz = inv_gamma = w = np.empty(0)
+
+        sc = SpeciesConfig(
+            q=q, m=m, particle_shape=self.config.particle_shape,
+            is_tracer=is_tracer,
+            name=name or f"species{len(self.species_configs)}",
+        )
+        pstate = make_particle_state(x, y, z, ux, uy, uz, inv_gamma, w,
+                                     capacity=capacity)
+        self.species_configs.append(sc)
+        self._species_counts.append(Ntot)
+        self.state = dataclasses.replace(
+            self.state, species=self.state.species + (pstate,))
+        view = SpeciesView(self, len(self.species_configs) - 1)
+        self.ptcl.append(view)
+        self._step_fns.clear()  # species set changed; re-jit
+        return view
+
+    # -----------------------------------------------------------------
+    # Field access (for tests / diagnostics)
+    # -----------------------------------------------------------------
+    def get_interp_field(self, name, m=None):
+        """Return an interpolation-grid field as numpy (Nm, Nz, Nr).
+
+        name in {Er, Et, Ez, Br, Bt, Bz} (live in state) or
+        {rho, Jr, Jt, Jz} (computed on the fly from spectral space).
+        """
+        if name in ("Er", "Et", "Ez", "Br", "Bt", "Bz"):
+            arr = getattr(self.state.interp, name)
+        elif name == "rho":
+            arr = tr.spect2interp_scal(self.aux.mats,
+                                       self.state.spect.rho_prev)
+        elif name in ("Jr", "Jt"):
+            Jr, Jt = tr.spect2interp_vect(
+                self.aux.mats, self.state.spect.Jp, self.state.spect.Jm)
+            arr = Jr if name == "Jr" else Jt
+        elif name == "Jz":
+            arr = tr.spect2interp_scal(self.aux.mats, self.state.spect.Jz)
+        else:
+            raise ValueError(name)
+        arr = np.asarray(arr)
+        return arr if m is None else arr[m]
+
+    def set_interp_EB(self, **fields):
+        """Overwrite interpolation-grid E/B components (numpy arrays) and
+        refresh spectral space accordingly."""
+        interp = self.state.interp
+        updates = {}
+        for name, value in fields.items():
+            ref = getattr(interp, name)
+            updates[name] = jnp.asarray(value, dtype=ref.dtype)
+        interp = dataclasses.replace(interp, **updates)
+        spect = step_mod.interp2spect_EB(self.aux, interp, self.state.spect,
+                                         use_pml=self.config.use_pml)
+        self.state = dataclasses.replace(self.state, interp=interp,
+                                         spect=spect)
+
+    # -----------------------------------------------------------------
+    # Deposition helpers (initialization / diagnostics)
+    # -----------------------------------------------------------------
+    def deposit(self, fieldtype, update_spectral=True, exchange=False):
+        """Deposit 'rho_prev'/'rho_next'/'J' from the current particles."""
+        if fieldtype.startswith("rho"):
+            rho = step_mod.deposit_rho_spect(
+                self.config, self.aux, self.state.species,
+                tuple(self.species_configs), self.state.zmin)
+            if self.filter_currents:
+                from ..fields import psatd_push as psp
+                rho = psp.filter_scalar(rho, self.aux.filter_z,
+                                        self.aux.filter_r)
+            self.state = dataclasses.replace(
+                self.state,
+                spect=dataclasses.replace(self.state.spect,
+                                          **{fieldtype: rho}))
+        elif fieldtype == "J":
+            Jp, Jm, Jz = step_mod.deposit_J_spect(
+                self.config, self.aux, self.state.species,
+                tuple(self.species_configs), self.state.zmin)
+            if self.filter_currents:
+                from ..fields import psatd_push as psp
+                Jp, Jm, Jz = psp.filter_vector(
+                    Jp, Jm, Jz, self.aux.filter_z, self.aux.filter_r)
+            self.state = dataclasses.replace(
+                self.state,
+                spect=dataclasses.replace(self.state.spect,
+                                          Jp=Jp, Jm=Jm, Jz=Jz))
+        else:
+            raise ValueError(fieldtype)
+
+    # -----------------------------------------------------------------
+    # The PIC loop
+    # -----------------------------------------------------------------
+    def _get_step_fn(self, options: StepOptions):
+        key = options
+        if key not in self._step_fns:
+            self._step_fns[key] = make_step(
+                self.config, tuple(self.species_configs), options)
+        return self._step_fns[key]
+
+    def step(self, N=1, correct_currents=True, correct_divE=False,
+             use_true_rho=False, move_positions=True, move_momenta=True,
+             show_progress=False):
+        """Perform N PIC cycles."""
+        options = StepOptions(
+            correct_currents=correct_currents,
+            correct_divE=correct_divE,
+            use_true_rho=use_true_rho,
+            move_positions=move_positions,
+            move_momenta=move_momenta,
+            filter_currents=self.filter_currents,
+            rmax_gather=self.config.rmax,
+        )
+        step_fn = self._get_step_fn(options)
+
+        # Refresh spectral E/B from the interpolation grid (captures any
+        # user-set fields), then the initial rho_prev deposit
+        # (reference: main.py:408-415 and :435-449)
+        spect = step_mod.interp2spect_EB(
+            self.aux, self.state.interp, self.state.spect,
+            use_pml=self.config.use_pml)
+        self.state = dataclasses.replace(self.state, spect=spect)
+        self.deposit("rho_prev")
+
+        for diag in self.diags:
+            diag.write(self)
+
+        for _ in range(N):
+            self.state = step_fn(self.state, self.aux)
+            for diag in self.diags:
+                diag.write(self)
+        # Block so that wall-clock timing by callers is meaningful
+        jax.block_until_ready(self.state)

@@ -1,0 +1,25 @@
+"""The one simulation state pytree that flows through the jit step."""
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass
+from ..fields.solver import SpectralFields, InterpFields
+from ..particles.state import ParticleState
+
+
+@pytree_dataclass
+class SimState:
+    """Full simulation state: fields + particles + scalars.
+
+    The reference spreads this over Fields / Particles / Simulation
+    attributes (/root/reference/fbpic/main.py:332-341); here it is a
+    single immutable pytree so the whole PIC cycle is one XLA program.
+    """
+    spect: SpectralFields
+    interp: InterpFields
+    species: Tuple[ParticleState, ...]
+    time: jax.Array        # scalar, simulation time [s]
+    zmin: jax.Array        # scalar, left edge of the local grid [m]
+    iteration: jax.Array   # int32 scalar

@@ -1,0 +1,348 @@
+"""The fused PIC cycle: one jit-compiled step for the whole simulation.
+
+This collapses the reference's ~50 kernel launches per step
+(/root/reference/fbpic/main.py:346-585) into a single XLA program:
+
+    gather E,B -> push p (Vay) -> push x (dt/2) -> deposit J
+    -> push x (dt/2) -> deposit rho_next -> correct currents
+    -> PSATD push E,B -> push rho -> spect2interp E,B
+
+Momenta are one half-step behind positions at cycle boundaries, as in
+the reference.
+"""
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import c
+from ..utils.pytree import static_dataclass
+from ..fields.solver import GridConfig, FieldAux, SpectralFields, InterpFields
+from ..fields import transform as tr
+from ..fields import psatd_push as ps
+from ..particles.state import ParticleState, SpeciesConfig
+from ..particles import push as pp
+from ..particles.gather import gather_fields_linear
+from ..particles.deposit import deposit_rho_linear, deposit_J_linear
+from .state import SimState
+
+
+@static_dataclass
+class StepOptions:
+    """Static options of the PIC cycle (part of the jit signature)."""
+    correct_currents: bool = True
+    correct_divE: bool = False
+    use_true_rho: bool = False
+    filter_currents: bool = True
+    move_positions: bool = True
+    move_momenta: bool = True
+    # rmax beyond which particles no longer gather fields (physical domain)
+    rmax_gather: float = float("inf")
+
+
+# ---------------------------------------------------------------------
+# Deposition orchestration
+# ---------------------------------------------------------------------
+
+def _zfold(config: GridConfig):
+    return "periodic" if config.boundaries_z == "periodic" else "clamp"
+
+
+def deposit_rho_spect(config, aux, species, species_configs, zmin):
+    """Deposit charge of all species -> spectral rho (Nm, Nz, Nr)."""
+    rho = None
+    for sp, sc in zip(species, species_configs):
+        if sc.is_tracer:
+            continue
+        w_eff = sp.w
+        if sp.ionization_level is not None:
+            w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
+        contrib = deposit_rho_linear(
+            sp.x, sp.y, sp.z, w_eff, sc.q, config.Nm,
+            1.0 / config.dz, zmin, config.Nz,
+            1.0 / config.dr, 0.0, config.Nr,
+            aux.ruyten_linear, zfold=_zfold(config),
+        )
+        rho = contrib if rho is None else rho + contrib
+    if rho is None:
+        cdtype = aux.field_shift.dtype
+        rho = jnp.zeros((config.Nm, config.Nz, config.Nr), dtype=cdtype)
+    rho = rho * aux.invvol[:, None, :]
+    rho_spect = tr.interp2spect_scal(aux.mats, rho)
+    return rho_spect
+
+
+def deposit_J_spect(config, aux, species, species_configs, zmin):
+    """Deposit current of all species -> spectral (Jp, Jm, Jz)."""
+    JrJtJz = None
+    for sp, sc in zip(species, species_configs):
+        if sc.is_tracer:
+            continue
+        w_eff = sp.w
+        if sp.ionization_level is not None:
+            w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
+        contrib = deposit_J_linear(
+            sp.x, sp.y, sp.z, w_eff, sc.q,
+            sp.ux, sp.uy, sp.uz, sp.inv_gamma, config.Nm,
+            1.0 / config.dz, zmin, config.Nz,
+            1.0 / config.dr, 0.0, config.Nr,
+            aux.ruyten_linear, zfold=_zfold(config),
+        )
+        if JrJtJz is None:
+            JrJtJz = list(contrib)
+        else:
+            JrJtJz = [a + b for a, b in zip(JrJtJz, contrib)]
+    if JrJtJz is None:
+        cdtype = aux.field_shift.dtype
+        z = jnp.zeros((config.Nm, config.Nz, config.Nr), dtype=cdtype)
+        JrJtJz = [z, z, z]
+    Jr, Jt, Jz = [a * aux.invvol[:, None, :] for a in JrJtJz]
+    Jp_s, Jm_s = tr.interp2spect_vect(aux.mats, Jr, Jt)
+    Jz_s = tr.interp2spect_scal(aux.mats, Jz)
+    return Jp_s, Jm_s, Jz_s
+
+
+# ---------------------------------------------------------------------
+# Field update pieces
+# ---------------------------------------------------------------------
+
+def push_fields(config: GridConfig, aux: FieldAux, spect: SpectralFields,
+                use_true_rho: bool) -> SpectralFields:
+    """PSATD E/B advance + rho_prev <- rho_next."""
+    if config.use_comoving:
+        if config.use_pml:
+            Ep_pml, Em_pml, Bp_pml, Bm_pml = ps.push_eb_pml_comoving(
+                spect.Ep_pml, spect.Em_pml, spect.Bp_pml, spect.Bm_pml,
+                spect.Ez, spect.Bz, aux.C, aux.S_w, aux.T_eb, aux.kr, aux.kz)
+        Ep, Em, Ez, Bp, Bm, Bz = ps.push_eb_comoving(
+            spect.Ep, spect.Em, spect.Ez, spect.Bp, spect.Bm, spect.Bz,
+            spect.Jp, spect.Jm, spect.Jz, spect.rho_prev, spect.rho_next,
+            aux.rho_prev_coef, aux.rho_next_coef, aux.j_coef,
+            aux.C, aux.S_w, aux.T_eb, aux.T_cc, aux.T_rho,
+            aux.kr, aux.kz, config.dt, config.v_comoving,
+            use_true_rho=use_true_rho)
+    else:
+        if config.use_pml:
+            Ep_pml, Em_pml, Bp_pml, Bm_pml = ps.push_eb_pml_standard(
+                spect.Ep_pml, spect.Em_pml, spect.Bp_pml, spect.Bm_pml,
+                spect.Ez, spect.Bz, aux.C, aux.S_w, aux.kr, aux.kz)
+        Ep, Em, Ez, Bp, Bm, Bz = ps.push_eb_standard(
+            spect.Ep, spect.Em, spect.Ez, spect.Bp, spect.Bm, spect.Bz,
+            spect.Jp, spect.Jm, spect.Jz, spect.rho_prev, spect.rho_next,
+            aux.rho_prev_coef, aux.rho_next_coef, aux.j_coef,
+            aux.C, aux.S_w, aux.kr, aux.kz, config.dt,
+            use_true_rho=use_true_rho)
+
+    updates = dict(
+        Ep=Ep, Em=Em, Ez=Ez, Bp=Bp, Bm=Bm, Bz=Bz,
+        rho_prev=spect.rho_next, rho_next=jnp.zeros_like(spect.rho_next),
+    )
+    if config.use_pml:
+        updates.update(Ep_pml=Ep_pml, Em_pml=Em_pml,
+                       Bp_pml=Bp_pml, Bm_pml=Bm_pml)
+    return dataclasses.replace(spect, **updates)
+
+
+def correct_currents(config: GridConfig, aux: FieldAux,
+                     spect: SpectralFields) -> SpectralFields:
+    inv_dt = 1.0 / config.dt
+    if config.current_correction == "curl-free":
+        if config.use_comoving:
+            Jp, Jm, Jz = ps.correct_currents_curlfree_comoving(
+                spect.rho_prev, spect.rho_next, spect.Jp, spect.Jm, spect.Jz,
+                aux.kz, aux.kr, aux.inv_k2, aux.j_corr_coef, aux.T_eb,
+                aux.T_cc, inv_dt)
+        else:
+            Jp, Jm, Jz = ps.correct_currents_curlfree_standard(
+                spect.rho_prev, spect.rho_next, spect.Jp, spect.Jm, spect.Jz,
+                aux.kz, aux.kr, aux.inv_k2, inv_dt)
+    elif config.current_correction == "cross-deposition":
+        if config.use_comoving:
+            Jp, Jm, Jz = ps.correct_currents_crossdeposition_comoving(
+                spect.rho_prev, spect.rho_next, spect.rho_next_z,
+                spect.rho_next_xy, spect.Jp, spect.Jm, spect.Jz,
+                aux.kz, aux.kr, aux.j_corr_coef, aux.T_eb, aux.T_cc, inv_dt)
+        else:
+            Jp, Jm, Jz = ps.correct_currents_crossdeposition_standard(
+                spect.rho_prev, spect.rho_next, spect.rho_next_z,
+                spect.rho_next_xy, spect.Jp, spect.Jm, spect.Jz,
+                aux.kz, aux.kr, inv_dt)
+    else:
+        raise ValueError(config.current_correction)
+    return dataclasses.replace(spect, Jp=Jp, Jm=Jm, Jz=Jz)
+
+
+def spect2interp_EB(aux: FieldAux, spect: SpectralFields,
+                    interp: InterpFields, use_pml=False) -> InterpFields:
+    Ez = tr.spect2interp_scal(aux.mats, spect.Ez)
+    Er, Et = tr.spect2interp_vect(aux.mats, spect.Ep, spect.Em)
+    Bz = tr.spect2interp_scal(aux.mats, spect.Bz)
+    Br, Bt = tr.spect2interp_vect(aux.mats, spect.Bp, spect.Bm)
+    updates = dict(Er=Er, Et=Et, Ez=Ez, Br=Br, Bt=Bt, Bz=Bz)
+    if use_pml:
+        Er_pml, Et_pml = tr.spect2interp_vect(
+            aux.mats, spect.Ep_pml, spect.Em_pml)
+        Br_pml, Bt_pml = tr.spect2interp_vect(
+            aux.mats, spect.Bp_pml, spect.Bm_pml)
+        updates.update(Er_pml=Er_pml, Et_pml=Et_pml,
+                       Br_pml=Br_pml, Bt_pml=Bt_pml)
+    return dataclasses.replace(interp, **updates)
+
+
+def interp2spect_EB(aux: FieldAux, interp: InterpFields,
+                    spect: SpectralFields, use_pml=False) -> SpectralFields:
+    Ez = tr.interp2spect_scal(aux.mats, interp.Ez)
+    Ep, Em = tr.interp2spect_vect(aux.mats, interp.Er, interp.Et)
+    Bz = tr.interp2spect_scal(aux.mats, interp.Bz)
+    Bp, Bm = tr.interp2spect_vect(aux.mats, interp.Br, interp.Bt)
+    updates = dict(Ep=Ep, Em=Em, Ez=Ez, Bp=Bp, Bm=Bm, Bz=Bz)
+    if use_pml:
+        Ep_pml, Em_pml = tr.interp2spect_vect(
+            aux.mats, interp.Er_pml, interp.Et_pml)
+        Bp_pml, Bm_pml = tr.interp2spect_vect(
+            aux.mats, interp.Br_pml, interp.Bt_pml)
+        updates.update(Ep_pml=Ep_pml, Em_pml=Em_pml,
+                       Bp_pml=Bp_pml, Bm_pml=Bm_pml)
+    return dataclasses.replace(spect, **updates)
+
+
+# ---------------------------------------------------------------------
+# Particle update pieces
+# ---------------------------------------------------------------------
+
+def _wrap_z_periodic(config: GridConfig, z, zmin):
+    """Keep particles inside the periodic box (single-device fast path,
+    reference: particle_buffer_handling.py:514)."""
+    Lz = config.Nz * config.dz
+    return zmin + jnp.mod(z - zmin, Lz)
+
+
+def gather_and_push(config: GridConfig, options: StepOptions, sp, sc,
+                    interp, zmin, dt):
+    """Gather E,B at particles, Vay-push momenta, half-step positions."""
+    EB = gather_fields_linear(
+        sp.x, sp.y, sp.z, interp, options.rmax_gather,
+        1.0 / config.dz, zmin, config.Nz,
+        1.0 / config.dr, 0.0, config.Nr,
+    )
+    E, B = EB[:3], EB[3:]
+    if options.move_momenta and sc.q != 0:
+        ux, uy, uz, inv_gamma = pp.push_p(sp, E, B, sc.q, sc.m, dt)
+        sp = dataclasses.replace(sp, ux=ux, uy=uy, uz=uz, inv_gamma=inv_gamma)
+    return sp
+
+
+def half_push_x(config: GridConfig, options: StepOptions, sp, zmin):
+    if not options.move_positions:
+        return sp
+    x, y, z = pp.push_x(sp, 0.5 * config.dt)
+    if config.boundaries_z == "periodic":
+        z = _wrap_z_periodic(config, z, zmin)
+    return dataclasses.replace(sp, x=x, y=y, z=z)
+
+
+# ---------------------------------------------------------------------
+# The step
+# ---------------------------------------------------------------------
+
+def make_step(config: GridConfig, species_configs, options: StepOptions):
+    """Build the jit-compiled single step function.
+
+    Returns step(state, aux) -> state.
+    """
+    species_configs = tuple(species_configs)
+
+    def step(state: SimState, aux: FieldAux) -> SimState:
+        spect, interp = state.spect, state.interp
+        species = list(state.species)
+        zmin = state.zmin
+        dt = config.dt
+
+        # --- Gather + momentum push + first half position push
+        species = [
+            gather_and_push(config, options, sp, sc, interp, zmin, dt)
+            for sp, sc in zip(species, species_configs)
+        ]
+        species = [half_push_x(config, options, sp, zmin) for sp in species]
+
+        # --- Current deposition at t = (n+1/2) dt
+        Jp, Jm, Jz = deposit_J_spect(config, aux, species, species_configs,
+                                     zmin)
+        if options.filter_currents:
+            Jp, Jm, Jz = ps.filter_vector(Jp, Jm, Jz, aux.filter_z,
+                                          aux.filter_r)
+        spect = dataclasses.replace(spect, Jp=Jp, Jm=Jm, Jz=Jz)
+
+        # --- Cross-deposition (between the two position half-pushes)
+        if (options.correct_currents
+                and config.current_correction == "cross-deposition"):
+            spect = _cross_deposit(config, options, aux, spect, species,
+                                   species_configs, zmin)
+
+        # --- Second half position push
+        species = [half_push_x(config, options, sp, zmin) for sp in species]
+
+        # --- Charge deposition at t = (n+1) dt
+        rho_next = deposit_rho_spect(config, aux, species, species_configs,
+                                     zmin)
+        if options.filter_currents:
+            rho_next = ps.filter_scalar(rho_next, aux.filter_z, aux.filter_r)
+        spect = dataclasses.replace(spect, rho_next=rho_next)
+
+        # --- Current correction
+        if options.correct_currents:
+            spect = correct_currents(config, aux, spect)
+
+        # --- PSATD field push (+ rho_prev <- rho_next)
+        spect = push_fields(config, aux, spect, options.use_true_rho)
+        if options.correct_divE:
+            Ep, Em, Ez = ps.correct_divE(
+                spect.rho_prev, spect.Ep, spect.Em, spect.Ez,
+                aux.kz, aux.kr, aux.inv_k2)
+            spect = dataclasses.replace(spect, Ep=Ep, Em=Em, Ez=Ez)
+
+        # --- Fields back to the interpolation grid for the next gather
+        interp = spect2interp_EB(aux, spect, interp, use_pml=config.use_pml)
+
+        return SimState(
+            spect=spect,
+            interp=interp,
+            species=tuple(species),
+            time=state.time + dt,
+            zmin=zmin,
+            iteration=state.iteration + 1,
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def _cross_deposit(config, options, aux, spect, species, species_configs,
+                   zmin):
+    """Deposit rho_next_xy and rho_next_z (cross-deposition scheme).
+
+    Particles enter at (z[n+1/2], x[n+1/2]); see reference main.py:672-716.
+    """
+    def push_species(species, dt, xp, yp, zp):
+        out = []
+        for sp in species:
+            if options.move_positions:
+                x, y, z = pp.push_x(sp, dt, x_push=xp, y_push=yp, z_push=zp)
+                if config.boundaries_z == "periodic":
+                    z = _wrap_z_periodic(config, z, zmin)
+                sp = dataclasses.replace(sp, x=x, y=y, z=z)
+            out.append(sp)
+        return out
+
+    # z[n+1/2], x[n+1/2] -> z[n], x[n+1]
+    tmp = push_species(species, 0.5 * config.dt, 1.0, 1.0, -1.0)
+    rho_next_xy = deposit_rho_spect(config, aux, tmp, species_configs, zmin)
+    # z[n], x[n+1] -> z[n+1], x[n]
+    tmp = push_species(tmp, config.dt, -1.0, -1.0, 1.0)
+    rho_next_z = deposit_rho_spect(config, aux, tmp, species_configs, zmin)
+    if options.filter_currents:
+        rho_next_xy = ps.filter_scalar(rho_next_xy, aux.filter_z,
+                                       aux.filter_r)
+        rho_next_z = ps.filter_scalar(rho_next_z, aux.filter_z, aux.filter_r)
+    return dataclasses.replace(spect, rho_next_xy=rho_next_xy,
+                               rho_next_z=rho_next_z)
