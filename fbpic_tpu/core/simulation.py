@@ -281,18 +281,21 @@ class Simulation:
         elif name == "Jz":
             arr = tr.spect2interp_scal(self.aux.mats, self.state.spect.Jz)
         else:
-            raise ValueError(name)
-        arr = np.asarray(arr)
+            raise ValueError(
+                f"Unknown field {name!r}; expected one of Er, Et, Ez, Br, "
+                "Bt, Bz, rho, Jr, Jt, Jz")
+        arr = arr.to_numpy()
         return arr if m is None else arr[m]
 
     def set_interp_EB(self, **fields):
         """Overwrite interpolation-grid E/B components (numpy arrays) and
         refresh spectral space accordingly."""
         interp = self.state.interp
+        from ..utils.complex_arr import CArr
         updates = {}
         for name, value in fields.items():
             ref = getattr(interp, name)
-            updates[name] = jnp.asarray(value, dtype=ref.dtype)
+            updates[name] = CArr.from_numpy(np.asarray(value), ref.dtype)
         interp = dataclasses.replace(interp, **updates)
         spect = step_mod.interp2spect_EB(self.aux, interp, self.state.spect,
                                          use_pml=self.config.use_pml)

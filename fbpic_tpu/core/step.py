@@ -22,6 +22,7 @@ from ..fields.solver import GridConfig, FieldAux, SpectralFields, InterpFields
 from ..fields import transform as tr
 from ..fields import psatd_push as ps
 from ..particles.state import ParticleState, SpeciesConfig
+from ..utils.complex_arr import CArr
 from ..particles import push as pp
 from ..particles.gather import gather_fields_linear
 from ..particles.deposit import deposit_rho_linear, deposit_J_linear
@@ -66,8 +67,8 @@ def deposit_rho_spect(config, aux, species, species_configs, zmin):
         )
         rho = contrib if rho is None else rho + contrib
     if rho is None:
-        cdtype = aux.field_shift.dtype
-        rho = jnp.zeros((config.Nm, config.Nz, config.Nr), dtype=cdtype)
+        rho = CArr.zeros((config.Nm, config.Nz, config.Nr),
+                         aux.filter_z.dtype)
     rho = rho * aux.invvol[:, None, :]
     rho_spect = tr.interp2spect_scal(aux.mats, rho)
     return rho_spect
@@ -94,8 +95,8 @@ def deposit_J_spect(config, aux, species, species_configs, zmin):
         else:
             JrJtJz = [a + b for a, b in zip(JrJtJz, contrib)]
     if JrJtJz is None:
-        cdtype = aux.field_shift.dtype
-        z = jnp.zeros((config.Nm, config.Nz, config.Nr), dtype=cdtype)
+        z = CArr.zeros((config.Nm, config.Nz, config.Nr),
+                       aux.filter_z.dtype)
         JrJtJz = [z, z, z]
     Jr, Jt, Jz = [a * aux.invvol[:, None, :] for a in JrJtJz]
     Jp_s, Jm_s = tr.interp2spect_vect(aux.mats, Jr, Jt)
@@ -136,7 +137,7 @@ def push_fields(config: GridConfig, aux: FieldAux, spect: SpectralFields,
 
     updates = dict(
         Ep=Ep, Em=Em, Ez=Ez, Bp=Bp, Bm=Bm, Bz=Bz,
-        rho_prev=spect.rho_next, rho_next=jnp.zeros_like(spect.rho_next),
+        rho_prev=spect.rho_next, rho_next=CArr.zeros_like(spect.rho_next),
     )
     if config.use_pml:
         updates.update(Ep_pml=Ep_pml, Em_pml=Em_pml,
@@ -246,11 +247,8 @@ def half_push_x(config: GridConfig, options: StepOptions, sp, zmin):
 # The step
 # ---------------------------------------------------------------------
 
-def make_step(config: GridConfig, species_configs, options: StepOptions):
-    """Build the jit-compiled single step function.
-
-    Returns step(state, aux) -> state.
-    """
+def make_step_fn(config: GridConfig, species_configs, options: StepOptions):
+    """Build the pure (unjitted) single-step function step(state, aux)."""
     species_configs = tuple(species_configs)
 
     def step(state: SimState, aux: FieldAux) -> SimState:
@@ -314,7 +312,13 @@ def make_step(config: GridConfig, species_configs, options: StepOptions):
             iteration=state.iteration + 1,
         )
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_step(config: GridConfig, species_configs, options: StepOptions):
+    """Build the jit-compiled single step function (donates the state)."""
+    return jax.jit(make_step_fn(config, species_configs, options),
+                   donate_argnums=(0,))
 
 
 def _cross_deposit(config, options, aux, spect, species, species_configs,

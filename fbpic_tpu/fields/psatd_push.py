@@ -1,13 +1,20 @@
 """PSATD field advance and current corrections, as pure batched functions.
 
-All arrays are stacked over azimuthal modes: complex (Nm, Nz, Nr).
-These are the elementwise k-space updates of the spectral solver -- XLA
-fuses each of them into a single kernel.  Behavioral reference:
+All field arrays are split-complex CArr stacked over azimuthal modes:
+(Nm, Nz, Nr).  Coefficient arrays are real jnp arrays except the
+Galilean/comoving T_* coefficients (CArr).  These are the elementwise
+k-space updates of the spectral solver -- XLA fuses each into a single
+kernel.  Behavioral reference:
 /root/reference/fbpic/fields/numba_methods.py:64-382.
+
+Note on notation: `X.mul_i()` is i*X; complex scalars only ever multiply
+CArr values (never raw real coefficient arrays), since the TPU backend
+has no complex dtype.
 """
 import jax.numpy as jnp
 
 from ..constants import c2, mu_0, epsilon_0
+from ..utils.complex_arr import CArr, cwhere
 
 
 def push_eb_standard(
@@ -17,44 +24,47 @@ def push_eb_standard(
 ):
     """Advance E, B over one timestep with the standard PSATD scheme."""
     if use_true_rho:
-        rho_diff = rho_next_coef * rho_next - rho_prev_coef * rho_prev
+        rho_diff = rho_next * rho_next_coef - rho_prev * rho_prev_coef
     else:
-        divE = kr * (Ep - Em) + 1.0j * kz * Ez
-        divJ = kr * (Jp - Jm) + 1.0j * kz * Jz
+        divE = (Ep - Em) * kr + (Ez * kz).mul_i()
+        divJ = (Jp - Jm) * kr + (Jz * kz).mul_i()
         rho_diff = (
-            (rho_next_coef - rho_prev_coef) * epsilon_0 * divE
-            - rho_next_coef * dt * divJ
+            divE * ((rho_next_coef - rho_prev_coef) * epsilon_0)
+            - divJ * (rho_next_coef * dt)
         )
 
-    Ep_new = C * Ep + 0.5 * kr * rho_diff + c2 * S_w * (
-        -1.0j * 0.5 * kr * Bz + kz * Bp - mu_0 * Jp
-    )
-    Em_new = C * Em - 0.5 * kr * rho_diff + c2 * S_w * (
-        -1.0j * 0.5 * kr * Bz - kz * Bm - mu_0 * Jm
-    )
-    Ez_new = C * Ez - 1.0j * kz * rho_diff + c2 * S_w * (
-        1.0j * kr * Bp + 1.0j * kr * Bm - mu_0 * Jz
-    )
+    Ep_new = Ep * C + rho_diff * (0.5 * kr) + (
+        (Bz * kr).mul_i() * (-0.5) + Bp * kz - Jp * mu_0
+    ) * (c2 * S_w)
+    Em_new = Em * C - rho_diff * (0.5 * kr) + (
+        (Bz * kr).mul_i() * (-0.5) - Bm * kz - Jm * mu_0
+    ) * (c2 * S_w)
+    Ez_new = Ez * C - rho_diff.mul_i() * kz + (
+        (Bp * kr).mul_i() + (Bm * kr).mul_i() - Jz * mu_0
+    ) * (c2 * S_w)
 
-    Bp_new = C * Bp - S_w * (-1.0j * 0.5 * kr * Ez + kz * Ep) + j_coef * (
-        -1.0j * 0.5 * kr * Jz + kz * Jp
-    )
-    Bm_new = C * Bm - S_w * (-1.0j * 0.5 * kr * Ez - kz * Em) + j_coef * (
-        -1.0j * 0.5 * kr * Jz - kz * Jm
-    )
-    Bz_new = C * Bz - S_w * (1.0j * kr * Ep + 1.0j * kr * Em) + j_coef * (
-        1.0j * kr * Jp + 1.0j * kr * Jm
-    )
+    Bp_new = Bp * C - ((Ez * kr).mul_i() * (-0.5) + Ep * kz) * S_w + (
+        (Jz * kr).mul_i() * (-0.5) + Jp * kz
+    ) * j_coef
+    Bm_new = Bm * C - ((Ez * kr).mul_i() * (-0.5) - Em * kz) * S_w + (
+        (Jz * kr).mul_i() * (-0.5) - Jm * kz
+    ) * j_coef
+    Bz_new = Bz * C - ((Ep * kr).mul_i() + (Em * kr).mul_i()) * S_w + (
+        (Jp * kr).mul_i() + (Jm * kr).mul_i()
+    ) * j_coef
 
     return Ep_new, Em_new, Ez_new, Bp_new, Bm_new, Bz_new
 
 
-def push_eb_pml_standard(Ep_pml, Em_pml, Bp_pml, Bm_pml, Ez, Bz, C, S_w, kr, kz):
+def push_eb_pml_standard(Ep_pml, Em_pml, Bp_pml, Bm_pml, Ez, Bz, C, S_w,
+                         kr, kz):
     """Advance the radial-PML split fields (standard scheme)."""
-    Ep_pml_new = C * Ep_pml + c2 * S_w * (-1.0j * 0.5 * kr * Bz)
-    Em_pml_new = C * Em_pml + c2 * S_w * (-1.0j * 0.5 * kr * Bz)
-    Bp_pml_new = C * Bp_pml - S_w * (-1.0j * 0.5 * kr * Ez)
-    Bm_pml_new = C * Bm_pml - S_w * (-1.0j * 0.5 * kr * Ez)
+    half_iBz = (Bz * kr).mul_i() * (-0.5)
+    half_iEz = (Ez * kr).mul_i() * (-0.5)
+    Ep_pml_new = Ep_pml * C + half_iBz * (c2 * S_w)
+    Em_pml_new = Em_pml * C + half_iBz * (c2 * S_w)
+    Bp_pml_new = Bp_pml * C - half_iEz * S_w
+    Bm_pml_new = Bm_pml * C - half_iEz * S_w
     return Ep_pml_new, Em_pml_new, Bp_pml_new, Bm_pml_new
 
 
@@ -63,61 +73,69 @@ def push_eb_comoving(
     rho_prev_coef, rho_next_coef, j_coef, C, S_w, T_eb, T_cc, T_rho,
     kr, kz, dt, V, use_true_rho=False,
 ):
-    """Advance E, B with the Galilean / comoving-current PSATD scheme."""
+    """Advance E, B with the Galilean / comoving-current PSATD scheme.
+
+    T_eb, T_cc, T_rho, and (rho_prev_coef, rho_next_coef, j_coef) are CArr.
+    """
     if use_true_rho:
-        rho_diff = rho_next_coef * rho_next - rho_prev_coef * rho_prev
+        rho_diff = rho_next * rho_next_coef - rho_prev * rho_prev_coef
     else:
-        divE = kr * (Ep - Em) + 1.0j * kz * Ez
-        divJ = kr * (Jp - Jm) + 1.0j * kz * Jz
+        divE = (Ep - Em) * kr + (Ez * kz).mul_i()
+        divJ = (Jp - Jm) * kr + (Jz * kz).mul_i()
         rho_diff = (
-            (T_eb * rho_next_coef - rho_prev_coef) * epsilon_0 * divE
-            + T_rho * rho_next_coef * divJ
+            divE * ((T_eb * rho_next_coef - rho_prev_coef) * epsilon_0)
+            + divJ * (T_rho * rho_next_coef)
         )
 
+    TC = T_eb * C
+    TS = T_eb * S_w
+
     Ep_new = (
-        T_eb * C * Ep + 0.5 * kr * rho_diff
-        + j_coef * 1.0j * kz * V * Jp
-        + c2 * T_eb * S_w * (-1.0j * 0.5 * kr * Bz + kz * Bp - mu_0 * T_cc * Jp)
+        Ep * TC + rho_diff * (0.5 * kr)
+        + (Jp * (kz * V)).mul_i() * j_coef
+        + ((Bz * kr).mul_i() * (-0.5) + Bp * kz - Jp * T_cc * mu_0) * (TS * c2)
     )
     Em_new = (
-        T_eb * C * Em - 0.5 * kr * rho_diff
-        + j_coef * 1.0j * kz * V * Jm
-        + c2 * T_eb * S_w * (-1.0j * 0.5 * kr * Bz - kz * Bm - mu_0 * T_cc * Jm)
+        Em * TC - rho_diff * (0.5 * kr)
+        + (Jm * (kz * V)).mul_i() * j_coef
+        + ((Bz * kr).mul_i() * (-0.5) - Bm * kz - Jm * T_cc * mu_0) * (TS * c2)
     )
     Ez_new = (
-        T_eb * C * Ez - 1.0j * kz * rho_diff
-        + j_coef * 1.0j * kz * V * Jz
-        + c2 * T_eb * S_w * (
-            1.0j * kr * Bp + 1.0j * kr * Bm - mu_0 * T_cc * Jz
-        )
+        Ez * TC - rho_diff.mul_i() * kz
+        + (Jz * (kz * V)).mul_i() * j_coef
+        + ((Bp * kr).mul_i() + (Bm * kr).mul_i() - Jz * T_cc * mu_0) * (TS * c2)
     )
 
     Bp_new = (
-        T_eb * C * Bp
-        - T_eb * S_w * (-1.0j * 0.5 * kr * Ez + kz * Ep)
-        + j_coef * (-1.0j * 0.5 * kr * Jz + kz * Jp)
+        Bp * TC
+        - ((Ez * kr).mul_i() * (-0.5) + Ep * kz) * TS
+        + ((Jz * kr).mul_i() * (-0.5) + Jp * kz) * j_coef
     )
     Bm_new = (
-        T_eb * C * Bm
-        - T_eb * S_w * (-1.0j * 0.5 * kr * Ez - kz * Em)
-        + j_coef * (-1.0j * 0.5 * kr * Jz - kz * Jm)
+        Bm * TC
+        - ((Ez * kr).mul_i() * (-0.5) - Em * kz) * TS
+        + ((Jz * kr).mul_i() * (-0.5) - Jm * kz) * j_coef
     )
     Bz_new = (
-        T_eb * C * Bz
-        - T_eb * S_w * (1.0j * kr * Ep + 1.0j * kr * Em)
-        + j_coef * (1.0j * kr * Jp + 1.0j * kr * Jm)
+        Bz * TC
+        - ((Ep * kr).mul_i() + (Em * kr).mul_i()) * TS
+        + ((Jp * kr).mul_i() + (Jm * kr).mul_i()) * j_coef
     )
 
     return Ep_new, Em_new, Ez_new, Bp_new, Bm_new, Bz_new
 
 
-def push_eb_pml_comoving(Ep_pml, Em_pml, Bp_pml, Bm_pml, Ez, Bz, C, S_w, T_eb,
-                         kr, kz):
+def push_eb_pml_comoving(Ep_pml, Em_pml, Bp_pml, Bm_pml, Ez, Bz, C, S_w,
+                         T_eb, kr, kz):
     """Advance the radial-PML split fields (Galilean / comoving scheme)."""
-    Ep_pml_new = T_eb * C * Ep_pml + c2 * T_eb * S_w * (-1.0j * 0.5 * kr * Bz)
-    Em_pml_new = T_eb * C * Em_pml + c2 * T_eb * S_w * (-1.0j * 0.5 * kr * Bz)
-    Bp_pml_new = T_eb * C * Bp_pml - T_eb * S_w * (-1.0j * 0.5 * kr * Ez)
-    Bm_pml_new = T_eb * C * Bm_pml - T_eb * S_w * (-1.0j * 0.5 * kr * Ez)
+    TC = T_eb * C
+    TS = T_eb * S_w
+    half_iBz = (Bz * kr).mul_i() * (-0.5)
+    half_iEz = (Ez * kr).mul_i() * (-0.5)
+    Ep_pml_new = Ep_pml * TC + half_iBz * TS * c2
+    Em_pml_new = Em_pml * TC + half_iBz * TS * c2
+    Bp_pml_new = Bp_pml * TC - half_iEz * TS
+    Bm_pml_new = Bm_pml * TC - half_iEz * TS
     return Ep_pml_new, Em_pml_new, Bp_pml_new, Bm_pml_new
 
 
@@ -125,12 +143,12 @@ def correct_currents_curlfree_standard(
     rho_prev, rho_next, Jp, Jm, Jz, kz, kr, inv_k2, inv_dt
 ):
     """Curl-free current correction (standard scheme)."""
-    F = -inv_k2 * (
+    F = (
         (rho_next - rho_prev) * inv_dt
-        + 1.0j * kz * Jz
-        + kr * (Jp - Jm)
-    )
-    return Jp + 0.5 * kr * F, Jm - 0.5 * kr * F, Jz - 1.0j * kz * F
+        + (Jz * kz).mul_i()
+        + (Jp - Jm) * kr
+    ) * (-inv_k2)
+    return Jp + F * (0.5 * kr), Jm - F * (0.5 * kr), Jz - F.mul_i() * kz
 
 
 def correct_currents_curlfree_comoving(
@@ -138,30 +156,34 @@ def correct_currents_curlfree_comoving(
     inv_dt
 ):
     """Curl-free current correction (Galilean / comoving scheme)."""
-    F = -inv_k2 * (
-        T_cc * j_corr_coef * (rho_next - rho_prev * T_eb)
-        + 1.0j * kz * Jz
-        + kr * (Jp - Jm)
-    )
-    return Jp + 0.5 * kr * F, Jm - 0.5 * kr * F, Jz - 1.0j * kz * F
+    F = (
+        (rho_next - rho_prev * T_eb) * (T_cc * j_corr_coef)
+        + (Jz * kz).mul_i()
+        + (Jp - Jm) * kr
+    ) * (-inv_k2)
+    return Jp + F * (0.5 * kr), Jm - F * (0.5 * kr), Jz - F.mul_i() * kz
+
+
+def _safe_inv(k):
+    return jnp.where(k != 0, 1.0 / jnp.where(k == 0, 1.0, k), 0.0)
 
 
 def correct_currents_crossdeposition_standard(
     rho_prev, rho_next, rho_next_z, rho_next_xy, Jp, Jm, Jz, kz, kr, inv_dt
 ):
     """Cross-deposition current correction (standard scheme)."""
-    Dz = 1.0j * kz * Jz + 0.5 * inv_dt * (
+    Dz = (Jz * kz).mul_i() + (
         rho_next - rho_next_xy + rho_next_z - rho_prev
-    )
-    Dxy = kr * (Jp - Jm) + 0.5 * inv_dt * (
+    ) * (0.5 * inv_dt)
+    Dxy = (Jp - Jm) * kr + (
         rho_next - rho_next_z + rho_next_xy - rho_prev
-    )
-    inv_kr = jnp.where(kr != 0, 1.0 / jnp.where(kr == 0, 1.0, kr), 0.0)
-    inv_kz = jnp.where(kz != 0, 1.0 / jnp.where(kz == 0, 1.0, kz), 0.0)
+    ) * (0.5 * inv_dt)
+    inv_kr = _safe_inv(kr)
+    inv_kz = _safe_inv(kz)
     return (
-        Jp - 0.5 * Dxy * inv_kr,
-        Jm + 0.5 * Dxy * inv_kr,
-        Jz + 1.0j * Dz * inv_kz,
+        Jp - Dxy * (0.5 * inv_kr),
+        Jm + Dxy * (0.5 * inv_kr),
+        Jz + Dz.mul_i() * inv_kz,
     )
 
 
@@ -170,27 +192,30 @@ def correct_currents_crossdeposition_comoving(
     j_corr_coef, T_eb, T_cc, inv_dt
 ):
     """Cross-deposition current correction (Galilean / comoving scheme)."""
-    Dz = 1.0j * kz * Jz + 0.5 * T_cc * j_corr_coef * (
-        rho_next - T_eb * rho_next_xy + rho_next_z - T_eb * rho_prev
-    )
-    Dxy = kr * (Jp - Jm) + 0.5 * T_cc * j_corr_coef * (
-        rho_next + T_eb * rho_next_xy - rho_next_z - T_eb * rho_prev
-    )
-    inv_kr = jnp.where(kr != 0, 1.0 / jnp.where(kr == 0, 1.0, kr), 0.0)
-    inv_kz = jnp.where(kz != 0, 1.0 / jnp.where(kz == 0, 1.0, kz), 0.0)
+    half_coef = T_cc * j_corr_coef * 0.5
+    Dz = (Jz * kz).mul_i() + (
+        rho_next - rho_next_xy * T_eb + rho_next_z - rho_prev * T_eb
+    ) * half_coef
+    Dxy = (Jp - Jm) * kr + (
+        rho_next + rho_next_xy * T_eb - rho_next_z - rho_prev * T_eb
+    ) * half_coef
+    inv_kr = _safe_inv(kr)
+    inv_kz = _safe_inv(kz)
     return (
-        Jp - 0.5 * Dxy * inv_kr,
-        Jm + 0.5 * Dxy * inv_kr,
-        Jz + 1.0j * Dz * inv_kz,
+        Jp - Dxy * (0.5 * inv_kr),
+        Jm + Dxy * (0.5 * inv_kr),
+        Jz + Dz.mul_i() * inv_kz,
     )
 
 
 def correct_divE(rho_prev, Ep, Em, Ez, kz, kr, inv_k2):
     """Correct E so that div(E) = rho/epsilon_0."""
-    F = -inv_k2 * (
-        -rho_prev / epsilon_0 + 1.0j * kz * Ez + kr * (Ep - Em)
-    )
-    return Ep + 0.5 * kr * F, Em - 0.5 * kr * F, Ez - 1.0j * kz * F
+    F = (
+        rho_prev * (-1.0 / epsilon_0)
+        + (Ez * kz).mul_i()
+        + (Ep - Em) * kr
+    ) * (-inv_k2)
+    return Ep + F * (0.5 * kr), Em - F * (0.5 * kr), Ez - F.mul_i() * kz
 
 
 def filter_scalar(field, filter_z, filter_r):

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pytree import pytree_dataclass, static_dataclass
-from ..utils.dtypes import real_dtype, complex_dtype
+from ..utils.dtypes import real_dtype
+from ..utils.complex_arr import CArr
 from .transform import TransformMatrices
 from .hankel import build_mode_matrices
 from .psatd_coefs import PsatdCoeffs
@@ -73,9 +74,9 @@ class SpectralFields:
 
     @staticmethod
     def zeros(config: GridConfig, dtype=None) -> "SpectralFields":
-        dtype = dtype or complex_dtype()
+        dtype = dtype or real_dtype()
         shape = (config.Nm, config.Nz, config.Nr)
-        z = lambda: jnp.zeros(shape, dtype=dtype)
+        z = lambda: CArr.zeros(shape, dtype)
         extra = {}
         if config.current_correction == "cross-deposition":
             extra["rho_next_z"] = z()
@@ -104,9 +105,9 @@ class InterpFields:
 
     @staticmethod
     def zeros(config: GridConfig, dtype=None) -> "InterpFields":
-        dtype = dtype or complex_dtype()
+        dtype = dtype or real_dtype()
         shape = (config.Nm, config.Nz, config.Nr)
-        z = lambda: jnp.zeros(shape, dtype=dtype)
+        z = lambda: CArr.zeros(shape, dtype)
         extra = {}
         if config.use_pml:
             extra.update(Er_pml=z(), Et_pml=z(), Br_pml=z(), Bt_pml=z())
@@ -151,7 +152,6 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
     """Host-side construction of all solver coefficient arrays."""
     Nz, Nr, Nm = config.Nz, config.Nr, config.Nm
     rdt = real_dtype()
-    cdt = complex_dtype()
 
     if smoother is None:
         smoother = BinomialSmoother(n_passes=1, compensator=False)
@@ -195,39 +195,43 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
     def dev_r(x):
         return jnp.asarray(x, dtype=rdt)
 
-    def dev_c(x):
-        return jnp.asarray(x, dtype=cdt)
+    def dev(x):
+        """Real arrays stay real jnp arrays; complex become CArr."""
+        if np.iscomplexobj(x):
+            return CArr.from_numpy(x, rdt)
+        return jnp.asarray(x, dtype=rdt)
 
     comoving = config.use_comoving
-    # j_coef is complex in the comoving scheme, real otherwise
-    j_coef = dev_c(ps.j_coef) if np.iscomplexobj(ps.j_coef) else dev_r(ps.j_coef)
-    rp_coef = (dev_c(ps.rho_prev_coef) if np.iscomplexobj(ps.rho_prev_coef)
-               else dev_r(ps.rho_prev_coef))
-    rn_coef = (dev_c(ps.rho_next_coef) if np.iscomplexobj(ps.rho_next_coef)
-               else dev_r(ps.rho_next_coef))
+
+    from .transform import dft_matrices
+    Wf, Wi = dft_matrices(Nz)
 
     return FieldAux(
         mats=TransformMatrices(
             **{k: dev_r(v) for k, v in mats_np.items() if k != "kr"},
             kr=dev_r(kr_np),
+            Wf_re=dev_r(Wf.real), Wf_im=dev_r(Wf.imag),
+            Wi_re=dev_r(Wi.real), Wi_im=dev_r(Wi.imag),
         ),
         kz_true=dev_r(kz_true),
         kz=dev_r(kz_mod[None, :, None]),
         kr=dev_r(kr_np[:, None, :]),
         C=dev_r(ps.C),
         S_w=dev_r(ps.S_w),
-        j_coef=j_coef,
-        rho_prev_coef=rp_coef,
-        rho_next_coef=rn_coef,
-        T_eb=dev_c(ps.T_eb) if comoving else None,
-        T_cc=dev_c(ps.T_cc) if comoving else None,
-        T_rho=dev_c(ps.T_rho) if comoving else None,
-        j_corr_coef=dev_c(ps.j_corr_coef) if comoving else None,
+        # j/rho coefficients are complex in the comoving scheme (CArr),
+        # plain real arrays otherwise
+        j_coef=dev(ps.j_coef),
+        rho_prev_coef=dev(ps.rho_prev_coef),
+        rho_next_coef=dev(ps.rho_next_coef),
+        T_eb=dev(ps.T_eb) if comoving else None,
+        T_cc=dev(ps.T_cc) if comoving else None,
+        T_rho=dev(ps.T_rho) if comoving else None,
+        j_corr_coef=dev(ps.j_corr_coef) if comoving else None,
         inv_k2=dev_r(inv_k2),
         filter_z=dev_r(filter_z),
         filter_r=dev_r(filter_r),
         invvol=dev_r(invvol),
         ruyten_linear=dev_r(np.stack([ruyt_lin0, ruyt_lin1])),
         ruyten_cubic=dev_r(np.stack([ruyt_cub0, ruyt_cub1])),
-        field_shift=dev_c(np.exp(1.0j * kz_true * config.dz)),
+        field_shift=CArr.from_numpy(np.exp(1.0j * kz_true * config.dz), rdt),
     )

@@ -1,101 +1,154 @@
 """Interpolation-grid <-> spectral-grid transforms, batched over modes.
 
-All fields are stored stacked over azimuthal modes: complex (Nm, Nz, Nr).
-The z transform is XLA's batched FFT; the radial transform is a dense
-per-mode matmul executed on the MXU.  Complex x real matmuls are done by
-splitting real/imag parts (two real GEMMs), which is the MXU-optimal
-version of the reference's "stack 2Nz reals" trick
-(/root/reference/fbpic/fields/spectral_transform/hankel.py:129-157).
+All fields are stored stacked over azimuthal modes as split-complex
+CArr of shape (Nm, Nz, Nr).  Both transforms are dense real matmuls on
+the MXU:
+
+  - radial: the quasi-DHT, a per-mode (Nr, Nr) matrix (reference:
+    spectral_transform/hankel.py) -- dense by construction;
+  - longitudinal: the DFT as an (Nz, Nz) matrix.  The TPU backend has
+    no complex FFT, and at PIC sizes (Nz ~ 1e3) a dense DFT saturates
+    the MXU and fuses with the neighbouring real/imag combinations.
 
 Transform composition (reference: spectral_transformer.py:89-223):
-  scalar  interp->spect : FFT(z) then  G = F @ M0
-  scalar  spect->interp : F = G @ invM0  then IFFT(z)
-  vector  interp->spect : FFT both, (r,t)->(p,m), p @ Mp, m @ Mm
-  vector  spect->interp : p @ invMp, m @ invMm, (p,m)->(r,t), IFFT both
+  scalar  interp->spect : DFT(z) then  G = F @ M0
+  scalar  spect->interp : F = G @ invM0  then IDFT(z)
+  vector  interp->spect : DFT both, (r,t)->(p,m), p @ Mp, m @ Mm
+  vector  spect->interp : p @ invMp, m @ invMm, (p,m)->(r,t), IDFT both
 """
-from functools import partial
-
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..utils.pytree import pytree_dataclass
-from ..utils.dtypes import real_dtype, complex_dtype
+from ..utils.dtypes import real_dtype
+from ..utils.complex_arr import CArr
 from .hankel import build_mode_matrices
+
+
+def dft_matrices(Nz):
+    """Dense DFT matrices (numpy convention: forward unnormalized).
+
+    Returns (Wf, Wi): complex128 (Nz, Nz) with
+      forward:  X[k] = sum_n Wf[k, n] x[n],  Wf = exp(-2i pi k n / Nz)
+      inverse:  x[n] = sum_k Wi[n, k] X[k],  Wi = conj(Wf) / Nz
+    """
+    k = np.arange(Nz)
+    Wf = np.exp(-2j * np.pi * np.outer(k, k) / Nz)
+    Wi = np.conj(Wf) / Nz
+    return Wf, Wi
 
 
 @pytree_dataclass
 class TransformMatrices:
-    """Device-resident DHT matrices, stacked over modes: (Nm, Nr, Nr)."""
+    """Device-resident transform matrices.
+
+    DHT matrices are stacked over modes: (Nm, Nr, Nr); DFT matrices are
+    shared across modes: (Nz, Nz), stored as split re/im.
+    """
     M0: jax.Array
     invM0: jax.Array
     Mp: jax.Array
     invMp: jax.Array
     Mm: jax.Array
     invMm: jax.Array
-    kr: jax.Array  # (Nm, Nr)
+    kr: jax.Array      # (Nm, Nr)
+    Wf_re: jax.Array   # (Nz, Nz) forward DFT
+    Wf_im: jax.Array
+    Wi_re: jax.Array   # (Nz, Nz) inverse DFT
+    Wi_im: jax.Array
 
     @staticmethod
-    def build(Nm: int, Nr: int, rmax: float, dtype=None) -> "TransformMatrices":
+    def build(Nm: int, Nr: int, Nz: int, rmax: float,
+              dtype=None) -> "TransformMatrices":
         mats = build_mode_matrices(Nm, Nr, rmax)
+        Wf, Wi = dft_matrices(Nz)
         dtype = dtype or real_dtype()
+        dev = lambda v: jnp.asarray(v, dtype=dtype)
         return TransformMatrices(
-            **{k: jnp.asarray(v, dtype=dtype) for k, v in mats.items()}
+            M0=dev(mats["M0"]), invM0=dev(mats["invM0"]),
+            Mp=dev(mats["Mp"]), invMp=dev(mats["invMp"]),
+            Mm=dev(mats["Mm"]), invMm=dev(mats["invMm"]),
+            kr=dev(mats["kr"]),
+            Wf_re=dev(Wf.real), Wf_im=dev(Wf.imag),
+            Wi_re=dev(Wi.real), Wi_im=dev(Wi.imag),
         )
 
 
-def dht(M: jax.Array, F: jax.Array) -> jax.Array:
+def dht(M: jax.Array, F: CArr) -> CArr:
     """Batched radial transform: out[m, z, s] = sum_r F[m, z, r] M[m, r, s].
 
-    M is real (Nm, Nr, Nr); F is complex (Nm, Nz, Nr).  Split into two
-    real matmuls so the MXU does not waste flops on a zero imaginary
-    part of M.
+    M is real (Nm, Nr, Nr) so the complex transform is two real GEMMs.
     """
-    Fr = jnp.einsum("mzr,mrs->mzs", F.real, M, preferred_element_type=M.dtype)
-    Fi = jnp.einsum("mzr,mrs->mzs", F.imag, M, preferred_element_type=M.dtype)
-    return jax.lax.complex(Fr, Fi)
+    pe = M.dtype
+    return CArr(
+        jnp.einsum("mzr,mrs->mzs", F.re, M, preferred_element_type=pe),
+        jnp.einsum("mzr,mrs->mzs", F.im, M, preferred_element_type=pe),
+    )
 
 
-def fft_z(F: jax.Array) -> jax.Array:
-    """Forward FFT along z (axis -2), unnormalized (numpy convention)."""
-    return jnp.fft.fft(F, axis=-2)
+def _zmatmul(Wre, Wim, F: CArr) -> CArr:
+    """Apply a complex (Nz, Nz) matrix along the z axis of F (Nm, Nz, Nr)."""
+    pe = Wre.dtype
+    ein = lambda W, X: jnp.einsum("uz,mzr->mur", W, X,
+                                  preferred_element_type=pe)
+    return CArr(
+        ein(Wre, F.re) - ein(Wim, F.im),
+        ein(Wre, F.im) + ein(Wim, F.re),
+    )
 
 
-def ifft_z(F: jax.Array) -> jax.Array:
-    """Inverse FFT along z (axis -2), 1/Nz normalized."""
-    return jnp.fft.ifft(F, axis=-2)
+def fft_z(mats: TransformMatrices, F: CArr) -> CArr:
+    """Forward DFT along z (axis -2), unnormalized (numpy convention)."""
+    return _zmatmul(mats.Wf_re, mats.Wf_im, F)
 
 
-def rt_to_pm(Fr: jax.Array, Ft: jax.Array):
+def ifft_z(mats: TransformMatrices, F: CArr) -> CArr:
+    """Inverse DFT along z (axis -2), 1/Nz normalized."""
+    return _zmatmul(mats.Wi_re, mats.Wi_im, F)
+
+
+def rt_to_pm(Fr: CArr, Ft: CArr):
     """(r, t) -> (+, -) spectral combination."""
-    Fp = 0.5 * (Fr - 1.0j * Ft)
-    Fm = 0.5 * (Fr + 1.0j * Ft)
+    Fp = 0.5 * (Fr - Ft.mul_i())
+    Fm = 0.5 * (Fr + Ft.mul_i())
     return Fp, Fm
 
 
-def pm_to_rt(Fp: jax.Array, Fm: jax.Array):
+def pm_to_rt(Fp: CArr, Fm: CArr):
     """(+, -) -> (r, t) combination."""
     Fr = Fp + Fm
-    Ft = 1.0j * (Fp - Fm)
+    Ft = (Fp - Fm).mul_i()
     return Fr, Ft
 
 
-def interp2spect_scal(mats: TransformMatrices, F: jax.Array) -> jax.Array:
-    return dht(mats.M0, fft_z(F))
+def interp2spect_scal(mats: TransformMatrices, F: CArr) -> CArr:
+    return dht(mats.M0, fft_z(mats, F))
 
 
-def spect2interp_scal(mats: TransformMatrices, G: jax.Array) -> jax.Array:
-    return ifft_z(dht(mats.invM0, G))
+def spect2interp_scal(mats: TransformMatrices, G: CArr) -> CArr:
+    return ifft_z(mats, dht(mats.invM0, G))
 
 
-def interp2spect_vect(mats: TransformMatrices, Fr, Ft):
-    fr = fft_z(Fr)
-    ft = fft_z(Ft)
+def interp2spect_vect(mats: TransformMatrices, Fr: CArr, Ft: CArr):
+    fr = fft_z(mats, Fr)
+    ft = fft_z(mats, Ft)
     p, m = rt_to_pm(fr, ft)
     return dht(mats.Mp, p), dht(mats.Mm, m)
 
 
-def spect2interp_vect(mats: TransformMatrices, Gp, Gm):
+def spect2interp_vect(mats: TransformMatrices, Gp: CArr, Gm: CArr):
     p = dht(mats.invMp, Gp)
     m = dht(mats.invMm, Gm)
     Fr, Ft = pm_to_rt(p, m)
-    return ifft_z(Fr), ifft_z(Ft)
+    return ifft_z(mats, Fr), ifft_z(mats, Ft)
+
+
+# Partial transforms (z only), used around guard-cell exchange in the
+# multi-domain case (reference: fields.py:431-536)
+def spect2partial_interp(mats: TransformMatrices, G: CArr) -> CArr:
+    return ifft_z(mats, G)
+
+
+def partial_interp2spect(mats: TransformMatrices, F: CArr) -> CArr:
+    return fft_z(mats, F)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import c
-from ..utils.dtypes import complex_dtype
+from ..utils.complex_arr import CArr
 from .gather import _cylindrical_projection
 
 # Guard cells on each side of the deposition buffer (enough for cubic)
@@ -23,12 +23,14 @@ NGUARD = 2
 
 
 def _mode_values(base, cos, sin, Nm):
-    """Return (Nm, Np) complex array: base * e^{i m theta}."""
-    eitheta = jax.lax.complex(cos, sin)
-    vals = [base.astype(complex_dtype())]
+    """Return (Nm, Np) split-complex CArr: base * e^{i m theta}."""
+    re_m, im_m = base, jnp.zeros_like(base)
+    res, ims = [re_m], [im_m]
     for _ in range(1, Nm):
-        vals.append(vals[-1] * eitheta)
-    return jnp.stack(vals)
+        re_m, im_m = re_m * cos - im_m * sin, re_m * sin + im_m * cos
+        res.append(re_m)
+        ims.append(im_m)
+    return CArr(jnp.stack(res), jnp.stack(ims))
 
 
 def _linear_weights(cell_pos, ruyten_row=None, bn_idx=None):
@@ -48,6 +50,13 @@ def _linear_weights(cell_pos, ruyten_row=None, bn_idx=None):
 
 
 def _fold_guard_cells(buf, Nz, Nr, zfold="periodic"):
+    if isinstance(buf, CArr):
+        return CArr(_fold_guard_cells(buf.re, Nz, Nr, zfold),
+                    _fold_guard_cells(buf.im, Nz, Nr, zfold))
+    return _fold_guard_cells_real(buf, Nz, Nr, zfold)
+
+
+def _fold_guard_cells_real(buf, Nz, Nr, zfold):
     """Fold the (Nm, Nz+4, Nr+4) deposition buffer into (Nm, Nz, Nr).
 
     z guards: periodic wrap (rows 0,1 -> Nz-2,Nz-1; rows Nz+2,Nz+3 -> 0,1)
@@ -77,17 +86,18 @@ def _fold_guard_cells(buf, Nz, Nr, zfold="periodic"):
     return out
 
 
-def _scatter_modes(vals_corners, flat_idx, Nm, Nzb, Nrb):
+def _scatter_modes(vals_corners: CArr, flat_idx, Nm, Nzb, Nrb) -> CArr:
     """Scatter-add per-mode corner values into a flat buffer.
 
-    vals_corners: (Nm, K*Np) complex; flat_idx: (K*Np,) int32.
-    Returns (Nm, Nzb, Nrb) complex.
+    vals_corners: CArr (Nm, K*Np); flat_idx: (K*Np,) int32.
+    Returns CArr (Nm, Nzb, Nrb).
     """
     def one_mode(vals):
         return jnp.zeros(Nzb * Nrb, dtype=vals.dtype).at[flat_idx].add(vals)
 
-    out = jax.vmap(one_mode)(vals_corners)
-    return out.reshape(Nm, Nzb, Nrb)
+    out_re = jax.vmap(one_mode)(vals_corners.re)
+    out_im = jax.vmap(one_mode)(vals_corners.im)
+    return CArr(out_re.reshape(Nm, Nzb, Nrb), out_im.reshape(Nm, Nzb, Nrb))
 
 
 def _linear_geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
@@ -170,7 +180,10 @@ def _deposit_linear_one(geom, vals, Nm, flip_parity, rdt):
     v01 = vals * (sz0[None] * sr1_rows)
     v10 = vals * (sz1[None] * sr0_rows)
     v11 = vals * (sz1[None] * sr1_rows)
-    vals_corners = jnp.concatenate([v00, v01, v10, v11], axis=1)
+    vals_corners = CArr(
+        jnp.concatenate([v00.re, v01.re, v10.re, v11.re], axis=1),
+        jnp.concatenate([v00.im, v01.im, v10.im, v11.im], axis=1),
+    )
 
     return _scatter_modes(vals_corners, geom["flat_idx"], Nm,
                           geom["Nzb"], geom["Nrb"])

@@ -11,6 +11,8 @@ gathering/inline_functions.py (axis guard-cell handling, mode factors).
 import jax
 import jax.numpy as jnp
 
+from ..utils.complex_arr import CArr
+
 
 def _cylindrical_projection(x, y):
     r = jnp.sqrt(x**2 + y**2)
@@ -34,8 +36,6 @@ def gather_fields_linear(
     rdt = x.dtype
 
     r, cos, sin = _cylindrical_projection(x, y)
-    # exp(-i theta)
-    expmtheta = jax.lax.complex(cos, -sin)
 
     r_cell = invdr * (r - rmin) - 0.5
     z_cell = invdz * (z - zmin) - 0.5
@@ -67,25 +67,28 @@ def gather_fields_linear(
     S_lg = Sz_lower * Sr_guard
     S_ug = Sz_upper * Sr_guard
 
-    # Stack all 6 components: (6, Nm, Nz, Nr)
-    F = jnp.stack([interp.Er, interp.Et, interp.Ez,
-                   interp.Br, interp.Bt, interp.Bz])
+    # Stack all 6 components: CArr (6, Nm, Nz, Nr)
+    F = CArr(
+        jnp.stack([interp.Er.re, interp.Et.re, interp.Ez.re,
+                   interp.Br.re, interp.Bt.re, interp.Bz.re]),
+        jnp.stack([interp.Er.im, interp.Et.im, interp.Ez.im,
+                   interp.Br.im, interp.Bt.im, interp.Bz.im]),
+    )
 
     def corner(iz, ir):
-        return F[:, :, iz, ir]  # (6, Nm, Np)
+        return F[:, :, iz, ir]  # CArr (6, Nm, Np)
 
     Fm = (
-        S_ll * corner(iz_lower, ir_lower)
-        + S_lu * corner(iz_lower, ir_upper)
-        + S_ul * corner(iz_upper, ir_lower)
-        + S_uu * corner(iz_upper, ir_upper)
+        corner(iz_lower, ir_lower) * S_ll
+        + corner(iz_lower, ir_upper) * S_lu
+        + corner(iz_upper, ir_lower) * S_ul
+        + corner(iz_upper, ir_upper) * S_uu
     )
 
     # Guard-cell (below-axis) contributions from radial index 0, with
     # sign flips: transverse components flip by -(-1)^m, z by (-1)^m
-    guard_vals = F[:, :, :, 0][:, :, iz_lower]  # (6, Nm, Np) at ir=0
-    guard_l = S_lg * guard_vals
-    guard_u = S_ug * F[:, :, :, 0][:, :, iz_upper]
+    Faxis = F[:, :, :, 0]  # CArr (6, Nm, Nz)
+    guard = Faxis[:, :, iz_lower] * S_lg + Faxis[:, :, iz_upper] * S_ug
     m_range = jnp.arange(Nm)
     flip = jnp.where(m_range % 2 == 0, 1.0, -1.0).astype(rdt)  # (-1)^m
     # sign for (r, t) components: -(-1)^m ; for z: +(-1)^m
@@ -93,16 +96,22 @@ def gather_fields_linear(
     sign_z = flip[None, :, None]
     comp_is_z = jnp.array([0, 0, 1, 0, 0, 1], dtype=bool)[:, None, None]
     guard_sign = jnp.where(comp_is_z, sign_z, sign_rt)
-    Fm = Fm + guard_sign * (guard_l + guard_u)
+    Fm = Fm + guard * guard_sign
 
-    # Mode sum: factor 1 for m=0, 2*Re(Fm * e^{-i m theta}) otherwise
-    # Compute e^{-i m theta} for all m by cumulative multiply (static Nm)
-    mode_factors = [jnp.ones_like(expmtheta)]
+    # Mode sum: factor 1 for m=0, 2*Re(Fm * e^{-i m theta}) otherwise.
+    # phase_m = e^{-i m theta}, built by repeated multiply with (cos - i sin)
+    pr, pi = jnp.ones_like(cos), jnp.zeros_like(sin)
+    pr_list, pi_list = [pr], [pi]
     for _ in range(1, Nm):
-        mode_factors.append(mode_factors[-1] * expmtheta)
-    phase = jnp.stack(mode_factors)  # (Nm, Np)
+        pr, pi = pr * cos + pi * sin, pi * cos - pr * sin
+        pr_list.append(pr)
+        pi_list.append(pi)
+    phase_re = jnp.stack(pr_list)  # (Nm, Np)
+    phase_im = jnp.stack(pi_list)
     weight = jnp.where(m_range == 0, 1.0, 2.0).astype(rdt)[:, None]
-    Fsum = jnp.sum(weight * (Fm * phase[None]).real, axis=1)  # (6, Np)
+    # Re(Fm * phase) = Fm.re * phase.re - Fm.im * phase.im
+    Fsum = jnp.sum(
+        weight * (Fm.re * phase_re[None] - Fm.im * phase_im[None]), axis=1)
 
     # Do not gather beyond the physical radius
     in_range = (r < rmax_gather).astype(rdt)

@@ -65,8 +65,7 @@ def test_uniform_rho_deposition():
         ptcl.x, ptcl.y, ptcl.z, ptcl.w, -e, Nm,
         1.0 / config.dz, zmin, Nz, 1.0 / config.dr, 0.0, Nr,
         aux.ruyten_linear)
-    rho = rho * aux.invvol[:, None, :]
-    rho = np.asarray(rho)
+    rho = (rho * aux.invvol[:, None, :]).to_numpy()
 
     # Mode 0 must be uniform = -e n0 (except last radial cell, where
     # particles beyond the left half of the cell are missing)
@@ -109,9 +108,9 @@ def test_deposit_J_matches_rho_times_v():
         1 / config.dz, zmin, Nz, 1 / config.dr, 0.0, Nr,
         aux.ruyten_linear)
     v = c * uz0 / np.sqrt(1 + uz0**2)
-    np.testing.assert_allclose(np.asarray(Jz), np.asarray(rho) * v,
+    np.testing.assert_allclose(Jz.to_numpy(), rho.to_numpy() * v,
                                rtol=1e-10, atol=1e-18)
-    assert np.abs(np.asarray(Jr)).max() < 1e-12 * np.abs(np.asarray(Jz)).max()
+    assert np.abs(Jr.to_numpy()).max() < 1e-12 * np.abs(Jz.to_numpy()).max()
 
 
 def test_gather_uniform_Ez():
@@ -125,7 +124,7 @@ def test_gather_uniform_Ez():
     config = GridConfig(Nz=Nz, Nr=Nr, Nm=Nm, dz=dz, dr=dr, rmax=rmax,
                         dt=1e-15)
     interp = InterpFields.zeros(config)
-    interp.Ez = interp.Ez.at[0].set(E0)
+    interp.Ez.re = interp.Ez.re.at[0].set(E0)
 
     rng = np.random.RandomState(2)
     Np = 100
@@ -151,7 +150,7 @@ def test_gather_mode1_theta_dependence():
                         dt=1e-15)
     interp = InterpFields.zeros(config)
     F1 = 3.0e7  # real coefficient in mode 1
-    interp.Ez = interp.Ez.at[1].set(F1)
+    interp.Ez.re = interp.Ez.re.at[1].set(F1)
 
     # Particles on a ring at fixed r, varying theta
     Np = 16

@@ -14,6 +14,7 @@ from fbpic_tpu.fields.transform import (
     TransformMatrices, interp2spect_scal, spect2interp_scal,
     interp2spect_vect, spect2interp_vect,
 )
+from fbpic_tpu.utils.complex_arr import CArr
 from fbpic_tpu.fields.stencil import get_modified_k
 from fbpic_tpu.fields import GridConfig, build_field_aux, SpectralFields
 from fbpic_tpu.fields.psatd_push import push_eb_standard
@@ -57,26 +58,29 @@ def test_transform_roundtrip_batched():
     """spect->interp->spect round trip for scalar and vector, all modes."""
     Nm, Nz, Nr = 3, 32, 32
     rmax = 20e-6
-    mats = TransformMatrices.build(Nm, Nr, rmax)
+    mats = TransformMatrices.build(Nm, Nr, Nz, rmax)
     rng = np.random.RandomState(1)
-    G = jnp.asarray(rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr))
+    G_np = rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr)
+    G = CArr.from_numpy(G_np, jnp.float64)
 
     # Scalar
     F = spect2interp_scal(mats, G)
-    G2 = interp2spect_scal(mats, F)
+    G2 = interp2spect_scal(mats, F).to_numpy()
     # Mode m>0 spectral index 0 is projected out by the scalar transform
-    np.testing.assert_allclose(G2[0], G[0], atol=1e-9)
-    np.testing.assert_allclose(G2[1:, :, 1:], G[1:, :, 1:], atol=1e-9)
+    np.testing.assert_allclose(G2[0], G_np[0], atol=1e-9)
+    np.testing.assert_allclose(G2[1:, :, 1:], G_np[1:, :, 1:], atol=1e-9)
 
     # Vector
-    Gp = jnp.asarray(rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr))
-    Gm = jnp.asarray(rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr))
+    Gp_np = rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr)
+    Gm_np = rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr)
     # Project out the nu=0 column for the + transform (p=m+1 > m-1)
-    Gp = Gp.at[1:, :, 0].set(0.0)
+    Gp_np[1:, :, 0] = 0.0
+    Gp = CArr.from_numpy(Gp_np, jnp.float64)
+    Gm = CArr.from_numpy(Gm_np, jnp.float64)
     Fr, Ft = spect2interp_vect(mats, Gp, Gm)
     Gp2, Gm2 = interp2spect_vect(mats, Fr, Ft)
-    np.testing.assert_allclose(np.asarray(Gp2), np.asarray(Gp), atol=1e-8)
-    np.testing.assert_allclose(np.asarray(Gm2), np.asarray(Gm), atol=1e-8)
+    np.testing.assert_allclose(Gp2.to_numpy(), Gp_np, atol=1e-8)
+    np.testing.assert_allclose(Gm2.to_numpy(), Gm_np, atol=1e-8)
 
 
 def test_modified_k_converges_to_true_k():
@@ -102,20 +106,20 @@ def test_psatd_vacuum_energy_conservation():
 
     rng = np.random.RandomState(3)
     # A random transverse E field; B chosen as 0 (standing wave)
-    Ep = jnp.asarray(rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr))
+    Ep = CArr.from_numpy(
+        rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr), jnp.float64)
 
     def energy(Ep, Em, Ez, Bp, Bm, Bz):
         # In the (+,-,z) basis |Fp|^2+|Fm|^2 = (|Fr|^2+|Ft|^2)/2, so the
         # conserved quadratic form weights the z components by 1/2.
-        return (
-            np.sum(np.abs(Ep)**2 + np.abs(Em)**2 + 0.5 * np.abs(Ez)**2)
-            + c**2 * np.sum(np.abs(Bp)**2 + np.abs(Bm)**2
-                            + 0.5 * np.abs(Bz)**2)
+        return float(
+            np.sum(Ep.abs2() + Em.abs2() + 0.5 * Ez.abs2())
+            + c**2 * np.sum(Bp.abs2() + Bm.abs2() + 0.5 * Bz.abs2())
         )
 
-    E = [Ep, jnp.zeros_like(Ep), jnp.zeros_like(Ep)]
-    B = [jnp.zeros_like(Ep)] * 3
-    zeros = jnp.zeros_like(Ep)
+    E = [Ep, CArr.zeros_like(Ep), CArr.zeros_like(Ep)]
+    B = [CArr.zeros_like(Ep)] * 3
+    zeros = CArr.zeros_like(Ep)
     e0 = energy(*E, *B)
     for _ in range(20):
         out = push_eb_standard(
