@@ -340,7 +340,8 @@ class Simulation:
     def _get_step_fn(self, options: StepOptions):
         key = options
         if key not in self._step_fns:
-            self._step_fns[key] = make_step(
+            from .step import make_multi_step
+            self._step_fns[key] = make_multi_step(
                 self.config, tuple(self.species_configs), options)
         return self._step_fns[key]
 
@@ -371,8 +372,19 @@ class Simulation:
         for diag in self.diags:
             diag.write(self)
 
-        for _ in range(N):
-            self.state = step_fn(self.state, self.aux)
+        # Run in device-resident chunks: between chunks the host only
+        # stops at diagnostic boundaries (minimizes host<->device syncs).
+        done = 0
+        it = self.iteration  # one host read; tracked host-side below
+        while done < N:
+            chunk = N - done
+            if self.diags:
+                period = min(getattr(d, "period", N) for d in self.diags)
+                next_boundary = period - (it % period)
+                chunk = min(chunk, max(1, next_boundary))
+            self.state = step_fn(self.state, self.aux, chunk)
+            done += chunk
+            it += chunk
             for diag in self.diags:
                 diag.write(self)
         # Block so that wall-clock timing by callers is meaningful

@@ -321,6 +321,25 @@ def make_step(config: GridConfig, species_configs, options: StepOptions):
                    donate_argnums=(0,))
 
 
+def make_multi_step(config: GridConfig, species_configs,
+                    options: StepOptions):
+    """Build a jit-compiled N-step driver: one XLA program runs n_steps
+    PIC cycles via lax.fori_loop (n_steps is a traced scalar, so one
+    compilation covers any chunk length).
+
+    Chunked stepping keeps host<->device round trips out of the hot
+    loop -- the Python host only synchronizes once per chunk (e.g. at
+    diagnostic periods).
+    """
+    step = make_step_fn(config, species_configs, options)
+
+    def multi_step(state: SimState, aux: FieldAux, n_steps) -> SimState:
+        return jax.lax.fori_loop(
+            0, n_steps, lambda i, s: step(s, aux), state)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
 def _cross_deposit(config, options, aux, spect, species, species_configs,
                    zmin):
     """Deposit rho_next_xy and rho_next_z (cross-deposition scheme).
