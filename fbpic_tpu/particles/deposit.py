@@ -1,10 +1,15 @@
 """Charge / current deposition: particles -> grid.
 
 TPU-native scatter design: per-particle cell indices and shape weights
-are computed vectorized, then scatter-added into a guard-padded buffer
-(Nm, Nz+4, Nr+4); the guard cells are folded back (periodic in z,
-reflected across the axis in r) with cheap array ops.  This replaces the
-reference's per-thread buffer copies (CPU) and cell-sorted atomics (GPU)
+are computed vectorized, and ALL payload channels (azimuthal modes x
+re/im x J components) are deposited in a single scatter-add with a
+trailing channel axis -- the scatter then moves a whole channel vector
+per index, which is the efficient regime for XLA's TPU scatter.  Guard
+cells are folded back (periodic in z, reflected across the axis in r)
+with cheap array ops.
+
+This replaces the reference's per-thread buffer copies (CPU) and
+cell-sorted atomics (GPU)
 (/root/reference/fbpic/particles/deposition/threading_methods.py:28-455,
 fields/numba_methods.py:410-460).
 
@@ -22,90 +27,53 @@ from .gather import _cylindrical_projection
 NGUARD = 2
 
 
-def _mode_values(base, cos, sin, Nm):
-    """Return (Nm, Np) split-complex CArr: base * e^{i m theta}."""
-    re_m, im_m = base, jnp.zeros_like(base)
+def _mode_phases(cos, sin, Nm):
+    """Lists of (cos(m th), sin(m th)) for m = 0..Nm-1."""
+    re_m, im_m = jnp.ones_like(cos), jnp.zeros_like(sin)
     res, ims = [re_m], [im_m]
     for _ in range(1, Nm):
         re_m, im_m = re_m * cos - im_m * sin, re_m * sin + im_m * cos
         res.append(re_m)
         ims.append(im_m)
-    return CArr(jnp.stack(res), jnp.stack(ims))
-
-
-def _linear_weights(cell_pos, ruyten_row=None, bn_idx=None):
-    """Linear shape weights (s0, s1) for one axis.
-
-    With ruyten_row given (radial axis), applies the Ruyten correction:
-    s0 = (1-u) + bn (1-u) u.
-    """
-    i_low = jnp.ceil(cell_pos).astype(jnp.int32) - 1
-    u = cell_pos - i_low.astype(cell_pos.dtype)
-    if ruyten_row is None:
-        s0 = 1.0 - u
-    else:
-        bn = ruyten_row[bn_idx]
-        s0 = (1.0 - u) + bn * (1.0 - u) * u
-    return i_low, s0, 1.0 - s0
+    return res, ims
 
 
 def _fold_guard_cells(buf, Nz, Nr, zfold="periodic"):
-    if isinstance(buf, CArr):
-        return CArr(_fold_guard_cells(buf.re, Nz, Nr, zfold),
-                    _fold_guard_cells(buf.im, Nz, Nr, zfold))
-    return _fold_guard_cells_real(buf, Nz, Nr, zfold)
+    """Fold a (Nz+4, Nr+4, C) deposition buffer into (Nz, Nr, C).
 
-
-def _fold_guard_cells_real(buf, Nz, Nr, zfold):
-    """Fold the (Nm, Nz+4, Nr+4) deposition buffer into (Nm, Nz, Nr).
-
-    z guards: periodic wrap (rows 0,1 -> Nz-2,Nz-1; rows Nz+2,Nz+3 -> 0,1)
-    or, for open boundaries with exchange handled elsewhere, simply
-    accumulated into the edge cells.
+    z guards: periodic wrap (rows 0,1 -> Nz-2,Nz-1; rows Nz+2,Nz+3 ->
+    0,1) or accumulation into the edge cells ('clamp', used with open
+    boundaries where the exchange is handled separately).
     r guards: reflection across the axis (cols 0 -> ir=1, 1 -> ir=0) and
     clamping at rmax (cols Nr+2, Nr+3 -> ir=Nr-1).
+    Reference: fields/numba_methods.py:410-460.
     """
     g = NGUARD
-    core_z = buf[:, g:Nz + g, :]
+    core_z = buf[g:Nz + g]
     if zfold == "periodic":
-        core_z = core_z.at[:, Nz - 2, :].add(buf[:, 0, :])
-        core_z = core_z.at[:, Nz - 1, :].add(buf[:, 1, :])
-        core_z = core_z.at[:, 0, :].add(buf[:, Nz + 2, :])
-        core_z = core_z.at[:, 1, :].add(buf[:, Nz + 3, :])
+        core_z = core_z.at[Nz - 2].add(buf[0])
+        core_z = core_z.at[Nz - 1].add(buf[1])
+        core_z = core_z.at[0].add(buf[Nz + 2])
+        core_z = core_z.at[1].add(buf[Nz + 3])
     elif zfold == "clamp":
-        core_z = core_z.at[:, 0, :].add(buf[:, 0, :] + buf[:, 1, :])
-        core_z = core_z.at[:, Nz - 1, :].add(
-            buf[:, Nz + 2, :] + buf[:, Nz + 3, :])
+        core_z = core_z.at[0].add(buf[0] + buf[1])
+        core_z = core_z.at[Nz - 1].add(buf[Nz + 2] + buf[Nz + 3])
     else:
         raise ValueError(zfold)
 
-    out = core_z[:, :, g:Nr + g]
-    out = out.at[:, :, 1].add(core_z[:, :, 0])
-    out = out.at[:, :, 0].add(core_z[:, :, 1])
-    out = out.at[:, :, Nr - 1].add(core_z[:, :, Nr + 2] + core_z[:, :, Nr + 3])
+    out = core_z[:, g:Nr + g]
+    out = out.at[:, 1].add(core_z[:, 0])
+    out = out.at[:, 0].add(core_z[:, 1])
+    out = out.at[:, Nr - 1].add(core_z[:, Nr + 2] + core_z[:, Nr + 3])
     return out
 
 
-def _scatter_modes(vals_corners: CArr, flat_idx, Nm, Nzb, Nrb) -> CArr:
-    """Scatter-add per-mode corner values into a flat buffer.
+def _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten):
+    """Linear-shape geometry: corner indices, weights, angles.
 
-    vals_corners: CArr (Nm, K*Np); flat_idx: (K*Np,) int32.
-    Returns CArr (Nm, Nzb, Nrb).
-    """
-    def one_mode(vals):
-        return jnp.zeros(Nzb * Nrb, dtype=vals.dtype).at[flat_idx].add(vals)
-
-    out_re = jax.vmap(one_mode)(vals_corners.re)
-    out_im = jax.vmap(one_mode)(vals_corners.im)
-    return CArr(out_re.reshape(Nm, Nzb, Nrb), out_im.reshape(Nm, Nzb, Nrb))
-
-
-def _linear_geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                     ruyten_linear):
-    """Common linear-deposition geometry: indices, weights, angles.
-
-    Returns dict with cos, sin, flat corner indices (4*Np,), and the
-    per-mode-row corner weights.
+    Returns a dict with per-particle quantities; radial lower-corner
+    weights are per mode-row (mode 0 vs higher) with the Ruyten
+    correction, plus the below-axis flag used for sign flips.
     """
     r, cos, sin = _cylindrical_projection(x, y)
     rdt = x.dtype
@@ -113,117 +81,186 @@ def _linear_geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
     r_cell = invdr * (r - rmin) - 0.5
     z_cell = invdz * (z - zmin) - 0.5
 
-    # z weights
     iz_low = jnp.ceil(z_cell).astype(jnp.int32) - 1
     sz1 = z_cell - iz_low.astype(rdt)
     sz0 = 1.0 - sz1
 
-    # r weights with Ruyten correction (two rows: mode 0 / modes > 0)
     ir_low = jnp.ceil(r_cell).astype(jnp.int32) - 1
     u = r_cell - ir_low.astype(rdt)
     bn_idx = jnp.clip(jnp.ceil(r_cell).astype(jnp.int32), 0, Nr)
     base0 = 1.0 - u
     corr = (1.0 - u) * u
-    sr0_m0 = base0 + ruyten_linear[0][bn_idx] * corr
-    sr0_mh = base0 + ruyten_linear[1][bn_idx] * corr
-    sr1_m0 = 1.0 - sr0_m0
-    sr1_mh = 1.0 - sr0_mh
+    sr0_m0 = base0 + ruyten[0][bn_idx] * corr
+    sr0_mh = base0 + ruyten[1][bn_idx] * corr
 
-    # Below-axis flag: the lower radial corner is at ir = -1
     below_axis = ir_low < 0
 
-    # Buffer indices (guard offset +2); clip high-r like the reference
     Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
     iz_buf = iz_low + NGUARD
     ir_buf = jnp.minimum(ir_low + NGUARD, Nr + NGUARD)
-
     idx00 = iz_buf * Nrb + ir_buf
-    idx01 = iz_buf * Nrb + (ir_buf + 1)
-    idx10 = (iz_buf + 1) * Nrb + ir_buf
-    idx11 = (iz_buf + 1) * Nrb + (ir_buf + 1)
-    flat_idx = jnp.concatenate([idx00, idx01, idx10, idx11])
 
     return dict(
-        cos=cos, sin=sin, below_axis=below_axis, flat_idx=flat_idx,
-        sz0=sz0, sz1=sz1,
-        sr0=(sr0_m0, sr0_mh), sr1=(sr1_m0, sr1_mh),
-        Nzb=Nzb, Nrb=Nrb,
+        cos=cos, sin=sin, below_axis=below_axis,
+        sz0=sz0, sz1=sz1, sr0_m0=sr0_m0, sr0_mh=sr0_mh,
+        idx00=idx00, Nzb=Nzb, Nrb=Nrb,
     )
 
 
-def _deposit_linear_one(geom, vals, Nm, flip_parity, rdt):
-    """Scatter one scalar quantity (per-mode values) with linear shapes.
+def _deposit_channels(geom, channel_vals, flip_parities, Nm, Nzb, Nrb,
+                      Nz, Nr, zfold):
+    """Scatter all channels at once with a trailing channel axis.
 
-    vals: (Nm, Np) complex.  flip_parity: +1 for rho/Jz ((-1)^m flip),
-    -1 for Jr/Jt (-(-1)^m flip).
-    Returns the unfolded (Nm, Nzb, Nrb) buffer.
+    channel_vals: (Np, C) where C enumerates (component, mode, re/im).
+    flip_parities: (C,) array of +-1 -- the below-axis flip sign of each
+    channel ((-1)^m for rho/Jz channels, -(-1)^m for Jr/Jt channels).
+    mode_rows: channels belonging to mode 0 use the mode-0 Ruyten row.
+
+    Returns the folded (Nz, Nr, C) real array.
     """
     sz0, sz1 = geom["sz0"], geom["sz1"]
-    sr0_m0, sr0_mh = geom["sr0"]
-    sr1_m0, sr1_mh = geom["sr1"]
     below = geom["below_axis"]
+    idx00 = geom["idx00"]
 
-    # Per-mode radial weight rows + below-axis sign flip on the lower corner
-    m_range = jnp.arange(Nm)
-    msign = jnp.where(m_range % 2 == 0, 1.0, -1.0).astype(rdt)  # (-1)^m
-    flip = flip_parity * msign  # (Nm,)
+    # Radial lower-corner weights per channel: mode-0 channels use the
+    # mode-0 Ruyten row.  flip applies only to the lower corner (the
+    # only one that can sit below the axis).
+    mode0_mask = flip_parities["is_mode0"]       # (C,) bool
+    flips = flip_parities["flip"]                # (C,) +-1 float
+    sr0 = jnp.where(mode0_mask[None, :], geom["sr0_m0"][:, None],
+                    geom["sr0_mh"][:, None])     # (Np, C)
+    sr1 = 1.0 - sr0
+    sr0 = jnp.where(below[:, None], flips[None, :] * sr0, sr0)
 
-    sr0_rows = jnp.where(
-        (m_range == 0)[:, None], sr0_m0[None, :], sr0_mh[None, :]
-    )  # (Nm, Np)
-    sr1_rows = jnp.where(
-        (m_range == 0)[:, None], sr1_m0[None, :], sr1_mh[None, :]
+    v = channel_vals                              # (Np, C)
+    v00 = v * (sz0[:, None] * sr0)
+    v01 = v * (sz0[:, None] * sr1)
+    v10 = v * (sz1[:, None] * sr0)
+    v11 = v * (sz1[:, None] * sr1)
+
+    vals = jnp.concatenate([v00, v01, v10, v11], axis=0)   # (4Np, C)
+    idx = jnp.concatenate([idx00, idx00 + 1, idx00 + Nrb, idx00 + Nrb + 1])
+
+    C = channel_vals.shape[1]
+    buf = jnp.zeros((Nzb * Nrb, C), dtype=v.dtype).at[idx].add(vals)
+    buf = buf.reshape(Nzb, Nrb, C)
+    return _fold_guard_cells(buf, Nz, Nr, zfold)
+
+
+def _channel_meta(Nm, n_components, comp_flip_parity, dtype):
+    """Per-channel metadata arrays for (component, mode, re/im) channels.
+
+    Channel layout: comp-major, then mode, then re/im:
+      channel index = ((comp * Nm) + m) * 2 + (0 for re, 1 for im)
+    """
+    is_mode0 = []
+    flip = []
+    for comp in range(n_components):
+        for m in range(Nm):
+            msign = 1.0 if m % 2 == 0 else -1.0
+            for _part in range(2):
+                is_mode0.append(m == 0)
+                flip.append(comp_flip_parity[comp] * msign)
+    return dict(
+        is_mode0=jnp.asarray(is_mode0, dtype=bool),
+        flip=jnp.asarray(flip, dtype=dtype),
     )
-    sr0_rows = jnp.where(below[None, :], flip[:, None] * sr0_rows, sr0_rows)
 
-    v00 = vals * (sz0[None] * sr0_rows)
-    v01 = vals * (sz0[None] * sr1_rows)
-    v10 = vals * (sz1[None] * sr0_rows)
-    v11 = vals * (sz1[None] * sr1_rows)
-    vals_corners = CArr(
-        jnp.concatenate([v00.re, v01.re, v10.re, v11.re], axis=1),
-        jnp.concatenate([v00.im, v01.im, v10.im, v11.im], axis=1),
-    )
 
-    return _scatter_modes(vals_corners, geom["flat_idx"], Nm,
-                          geom["Nzb"], geom["Nrb"])
+def _pack_channels(values, Nm):
+    """Pack a list of per-component CArr (Nm, Np) into (Np, C) channels."""
+    cols = []
+    for val in values:
+        for m in range(Nm):
+            cols.append(val.re[m])
+            cols.append(val.im[m])
+    return jnp.stack(cols, axis=1)
+
+
+def _unpack_channels(arr, n_components, Nm):
+    """Unpack (Nz, Nr, C) channels back into a list of CArr (Nm, Nz, Nr)."""
+    out = []
+    i = 0
+    for _comp in range(n_components):
+        res, ims = [], []
+        for _m in range(Nm):
+            res.append(arr[:, :, i])
+            ims.append(arr[:, :, i + 1])
+            i += 2
+        out.append(CArr(jnp.stack(res), jnp.stack(ims)))
+    return out
 
 
 def deposit_rho_linear(x, y, z, w, q, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
                        ruyten_linear, zfold="periodic"):
     """Deposit charge density (not yet divided by cell volume).
 
-    Returns (Nm, Nz, Nr) complex.
+    Returns CArr (Nm, Nz, Nr).
     """
-    geom = _linear_geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                            ruyten_linear)
+    geom = _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
+                     ruyten_linear)
+    cos_m, sin_m = _mode_phases(geom["cos"], geom["sin"], Nm)
     wj = q * w
-    vals = _mode_values(wj, geom["cos"], geom["sin"], Nm)
-    buf = _deposit_linear_one(geom, vals, Nm, +1.0, x.dtype)
-    return _fold_guard_cells(buf, Nz, Nr, zfold)
+    rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m]),
+                     jnp.stack([wj * sm for sm in sin_m]))
+    channels = _pack_channels([rho_modes], Nm)
+    meta = _channel_meta(Nm, 1, [+1.0], x.dtype)
+    out = _deposit_channels(geom, channels, meta, Nm, geom["Nzb"],
+                            geom["Nrb"], Nz, Nr, zfold)
+    return _unpack_channels(out, 1, Nm)[0]
 
 
 def deposit_J_linear(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
                      invdz, zmin, Nz, invdr, rmin, Nr, ruyten_linear,
                      zfold="periodic"):
-    """Deposit current density (Jr, Jt, Jz), each (Nm, Nz, Nr) complex."""
-    geom = _linear_geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                            ruyten_linear)
+    """Deposit current density; returns (Jr, Jt, Jz) CArr (Nm, Nz, Nr)."""
+    geom = _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
+                     ruyten_linear)
     cos, sin = geom["cos"], geom["sin"]
+    cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w
     jr0 = wj * c * inv_gamma * (cos * ux + sin * uy)
     jt0 = wj * c * inv_gamma * (cos * uy - sin * ux)
     jz0 = wj * c * inv_gamma * uz
 
-    vals_r = _mode_values(jr0, cos, sin, Nm)
-    vals_t = _mode_values(jt0, cos, sin, Nm)
-    vals_z = _mode_values(jz0, cos, sin, Nm)
-
-    rdt = x.dtype
-    Jr = _fold_guard_cells(
-        _deposit_linear_one(geom, vals_r, Nm, -1.0, rdt), Nz, Nr, zfold)
-    Jt = _fold_guard_cells(
-        _deposit_linear_one(geom, vals_t, Nm, -1.0, rdt), Nz, Nr, zfold)
-    Jz = _fold_guard_cells(
-        _deposit_linear_one(geom, vals_z, Nm, +1.0, rdt), Nz, Nr, zfold)
+    vals = [
+        CArr(jnp.stack([j0 * cm for cm in cos_m]),
+             jnp.stack([j0 * sm for sm in sin_m]))
+        for j0 in (jr0, jt0, jz0)
+    ]
+    channels = _pack_channels(vals, Nm)
+    # Jr/Jt flip with -(-1)^m below the axis; Jz with (-1)^m
+    meta = _channel_meta(Nm, 3, [-1.0, -1.0, +1.0], x.dtype)
+    out = _deposit_channels(geom, channels, meta, Nm, geom["Nzb"],
+                            geom["Nrb"], Nz, Nr, zfold)
+    Jr, Jt, Jz = _unpack_channels(out, 3, Nm)
     return Jr, Jt, Jz
+
+
+def deposit_rho_J_linear(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
+                         invdz, zmin, Nz, invdr, rmin, Nr, ruyten_linear,
+                         zfold="periodic"):
+    """Deposit rho and J together in one scatter (same positions).
+
+    Returns (rho, Jr, Jt, Jz) CArr (Nm, Nz, Nr).  Used when the charge
+    and current are sampled at the same particle positions.
+    """
+    geom = _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
+                     ruyten_linear)
+    cos, sin = geom["cos"], geom["sin"]
+    cos_m, sin_m = _mode_phases(cos, sin, Nm)
+    wj = q * w
+    base = [
+        wj,
+        wj * c * inv_gamma * (cos * ux + sin * uy),
+        wj * c * inv_gamma * (cos * uy - sin * ux),
+        wj * c * inv_gamma * uz,
+    ]
+    vals = [CArr(jnp.stack([b * cm for cm in cos_m]),
+                 jnp.stack([b * sm for sm in sin_m])) for b in base]
+    channels = _pack_channels(vals, Nm)
+    meta = _channel_meta(Nm, 4, [+1.0, -1.0, -1.0, +1.0], x.dtype)
+    out = _deposit_channels(geom, channels, meta, Nm, geom["Nzb"],
+                            geom["Nrb"], Nz, Nr, zfold)
+    rho, Jr, Jt, Jz = _unpack_channels(out, 4, Nm)
+    return rho, Jr, Jt, Jz

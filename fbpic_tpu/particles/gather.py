@@ -1,8 +1,9 @@
 """Field gathering: grid -> per-particle E and B.
 
-Vectorized over particles; the 6 field components are stacked so each
-grid lookup is a single XLA gather of shape (6, Nm, Np).  Azimuthal
-modes are summed on the fly with exp(-i m theta) factors.
+Vectorized over particles; ALL grid channels (6 field components x
+azimuthal modes x re/im) are fetched in a single XLA gather per corner
+with a trailing channel axis, then combined with exp(-i m theta)
+factors on the fly.
 
 Behavioral reference:
 /root/reference/fbpic/particles/gathering/threading_methods.py:26-208 and
@@ -22,6 +23,21 @@ def _cylindrical_projection(x, y):
     return r, cos, sin
 
 
+def _stack_interp_channels(interp, Nm):
+    """Stack interp E/B into (Nz, Nr, C) with C = 6 * Nm * 2 channels.
+
+    Channel layout: comp-major (Er,Et,Ez,Br,Bt,Bz), then mode, then re/im.
+    """
+    comps = [interp.Er, interp.Et, interp.Ez,
+             interp.Br, interp.Bt, interp.Bz]
+    cols = []
+    for comp in comps:
+        for m in range(Nm):
+            cols.append(comp.re[m])
+            cols.append(comp.im[m])
+    return jnp.stack(cols, axis=-1)  # (Nz, Nr, C)
+
+
 def gather_fields_linear(
     x, y, z, interp, rmax_gather, invdz, zmin, Nz, invdr, rmin, Nr,
 ):
@@ -29,7 +45,7 @@ def gather_fields_linear(
 
     Parameters
     ----------
-    interp: InterpFields with (Nm, Nz, Nr) complex arrays
+    interp: InterpFields with CArr (Nm, Nz, Nr) arrays
     Returns (Ex, Ey, Ez, Bx, By, Bz) per-particle real arrays.
     """
     Nm = interp.Er.shape[0]
@@ -60,45 +76,38 @@ def gather_fields_linear(
     iz_lower = jnp.mod(iz_lower, Nz)
     iz_upper = jnp.mod(iz_upper, Nz)
 
-    S_ll = Sz_lower * Sr_lower
-    S_lu = Sz_lower * Sr_upper
-    S_ul = Sz_upper * Sr_lower
-    S_uu = Sz_upper * Sr_upper
-    S_lg = Sz_lower * Sr_guard
-    S_ug = Sz_upper * Sr_guard
-
-    # Stack all 6 components: CArr (6, Nm, Nz, Nr)
-    F = CArr(
-        jnp.stack([interp.Er.re, interp.Et.re, interp.Ez.re,
-                   interp.Br.re, interp.Bt.re, interp.Bz.re]),
-        jnp.stack([interp.Er.im, interp.Et.im, interp.Ez.im,
-                   interp.Br.im, interp.Bt.im, interp.Bz.im]),
-    )
+    F = _stack_interp_channels(interp, Nm)          # (Nz, Nr, C)
+    C = F.shape[-1]
+    Fflat = F.reshape(Nz * Nr, C)
 
     def corner(iz, ir):
-        return F[:, :, iz, ir]  # CArr (6, Nm, Np)
+        return Fflat[iz * Nr + ir]                   # (Np, C)
 
     Fm = (
-        corner(iz_lower, ir_lower) * S_ll
-        + corner(iz_lower, ir_upper) * S_lu
-        + corner(iz_upper, ir_lower) * S_ul
-        + corner(iz_upper, ir_upper) * S_uu
+        (Sz_lower * Sr_lower)[:, None] * corner(iz_lower, ir_lower)
+        + (Sz_lower * Sr_upper)[:, None] * corner(iz_lower, ir_upper)
+        + (Sz_upper * Sr_lower)[:, None] * corner(iz_upper, ir_lower)
+        + (Sz_upper * Sr_upper)[:, None] * corner(iz_upper, ir_upper)
     )
 
     # Guard-cell (below-axis) contributions from radial index 0, with
     # sign flips: transverse components flip by -(-1)^m, z by (-1)^m
-    Faxis = F[:, :, :, 0]  # CArr (6, Nm, Nz)
-    guard = Faxis[:, :, iz_lower] * S_lg + Faxis[:, :, iz_upper] * S_ug
-    m_range = jnp.arange(Nm)
-    flip = jnp.where(m_range % 2 == 0, 1.0, -1.0).astype(rdt)  # (-1)^m
-    # sign for (r, t) components: -(-1)^m ; for z: +(-1)^m
-    sign_rt = (-flip)[None, :, None]
-    sign_z = flip[None, :, None]
-    comp_is_z = jnp.array([0, 0, 1, 0, 0, 1], dtype=bool)[:, None, None]
-    guard_sign = jnp.where(comp_is_z, sign_z, sign_rt)
-    Fm = Fm + guard * guard_sign
+    guard = (
+        (Sz_lower * Sr_guard)[:, None] * corner(iz_lower, 0 * iz_lower)
+        + (Sz_upper * Sr_guard)[:, None] * corner(iz_upper, 0 * iz_upper)
+    )
+    # Per-channel guard sign
+    guard_sign = []
+    for comp in range(6):
+        is_z = comp in (2, 5)
+        for m in range(Nm):
+            msign = 1.0 if m % 2 == 0 else -1.0
+            s = msign if is_z else -msign
+            guard_sign += [s, s]
+    guard_sign = jnp.asarray(guard_sign, dtype=rdt)
+    Fm = Fm + guard * guard_sign[None, :]
 
-    # Mode sum: factor 1 for m=0, 2*Re(Fm * e^{-i m theta}) otherwise.
+    # Mode sum: Re(Fm_c * e^{-i m theta}) with factor 1 (m=0) / 2 (m>0).
     # phase_m = e^{-i m theta}, built by repeated multiply with (cos - i sin)
     pr, pi = jnp.ones_like(cos), jnp.zeros_like(sin)
     pr_list, pi_list = [pr], [pi]
@@ -106,18 +115,22 @@ def gather_fields_linear(
         pr, pi = pr * cos + pi * sin, pi * cos - pr * sin
         pr_list.append(pr)
         pi_list.append(pi)
-    phase_re = jnp.stack(pr_list)  # (Nm, Np)
-    phase_im = jnp.stack(pi_list)
-    weight = jnp.where(m_range == 0, 1.0, 2.0).astype(rdt)[:, None]
-    # Re(Fm * phase) = Fm.re * phase.re - Fm.im * phase.im
-    Fsum = jnp.sum(
-        weight * (Fm.re * phase_re[None] - Fm.im * phase_im[None]), axis=1)
 
-    # Do not gather beyond the physical radius
+    # Combine channels: for channel (comp, m, re) weight = w_m * phase.re,
+    # for (comp, m, im) weight = -w_m * phase.im  (Re(a*p)=a.re p.re - a.im p.im)
+    out = []
+    for comp in range(6):
+        acc = jnp.zeros_like(x)
+        for m in range(Nm):
+            w_m = 1.0 if m == 0 else 2.0
+            base = (comp * Nm + m) * 2
+            acc = acc + w_m * (Fm[:, base] * pr_list[m]
+                               - Fm[:, base + 1] * pi_list[m])
+        out.append(acc)
+
     in_range = (r < rmax_gather).astype(rdt)
-    Fsum = Fsum * in_range
+    Fr_E, Ft_E, Fz_E, Fr_B, Ft_B, Fz_B = [o * in_range for o in out]
 
-    Fr_E, Ft_E, Fz_E, Fr_B, Ft_B, Fz_B = Fsum
     Ex = cos * Fr_E - sin * Ft_E
     Ey = sin * Fr_E + cos * Ft_E
     Bx = cos * Fr_B - sin * Ft_B
