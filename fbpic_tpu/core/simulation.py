@@ -340,9 +340,13 @@ class Simulation:
     def _get_step_fn(self, options: StepOptions):
         key = options
         if key not in self._step_fns:
-            from .step import make_multi_step
-            self._step_fns[key] = make_multi_step(
-                self.config, tuple(self.species_configs), options)
+            from .step import make_multi_step, make_prepare
+            self._step_fns[key] = (
+                make_multi_step(self.config, tuple(self.species_configs),
+                                options),
+                make_prepare(self.config, tuple(self.species_configs),
+                             options),
+            )
         return self._step_fns[key]
 
     def step(self, N=1, correct_currents=True, correct_divE=False,
@@ -358,16 +362,12 @@ class Simulation:
             filter_currents=self.filter_currents,
             rmax_gather=self.config.rmax,
         )
-        step_fn = self._get_step_fn(options)
+        step_fn, prepare_fn = self._get_step_fn(options)
 
         # Refresh spectral E/B from the interpolation grid (captures any
         # user-set fields), then the initial rho_prev deposit
         # (reference: main.py:408-415 and :435-449)
-        spect = step_mod.interp2spect_EB(
-            self.aux, self.state.interp, self.state.spect,
-            use_pml=self.config.use_pml)
-        self.state = dataclasses.replace(self.state, spect=spect)
-        self.deposit("rho_prev")
+        self.state = prepare_fn(self.state, self.aux)
 
         for diag in self.diags:
             diag.write(self)

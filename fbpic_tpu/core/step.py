@@ -99,9 +99,7 @@ def deposit_J_spect(config, aux, species, species_configs, zmin):
                        aux.filter_z.dtype)
         JrJtJz = [z, z, z]
     Jr, Jt, Jz = [a * aux.invvol[:, None, :] for a in JrJtJz]
-    Jp_s, Jm_s = tr.interp2spect_vect(aux.mats, Jr, Jt)
-    Jz_s = tr.interp2spect_scal(aux.mats, Jz)
-    return Jp_s, Jm_s, Jz_s
+    return tr.interp2spect_J_fields(aux.mats, Jr, Jt, Jz)
 
 
 # ---------------------------------------------------------------------
@@ -176,10 +174,9 @@ def correct_currents(config: GridConfig, aux: FieldAux,
 
 def spect2interp_EB(aux: FieldAux, spect: SpectralFields,
                     interp: InterpFields, use_pml=False) -> InterpFields:
-    Ez = tr.spect2interp_scal(aux.mats, spect.Ez)
-    Er, Et = tr.spect2interp_vect(aux.mats, spect.Ep, spect.Em)
-    Bz = tr.spect2interp_scal(aux.mats, spect.Bz)
-    Br, Bt = tr.spect2interp_vect(aux.mats, spect.Bp, spect.Bm)
+    Er, Et, Ez, Br, Bt, Bz = tr.spect2interp_EB_fields(
+        aux.mats, spect.Ep, spect.Em, spect.Ez,
+        spect.Bp, spect.Bm, spect.Bz)
     updates = dict(Er=Er, Et=Et, Ez=Ez, Br=Br, Bt=Bt, Bz=Bz)
     if use_pml:
         Er_pml, Et_pml = tr.spect2interp_vect(
@@ -193,10 +190,9 @@ def spect2interp_EB(aux: FieldAux, spect: SpectralFields,
 
 def interp2spect_EB(aux: FieldAux, interp: InterpFields,
                     spect: SpectralFields, use_pml=False) -> SpectralFields:
-    Ez = tr.interp2spect_scal(aux.mats, interp.Ez)
-    Ep, Em = tr.interp2spect_vect(aux.mats, interp.Er, interp.Et)
-    Bz = tr.interp2spect_scal(aux.mats, interp.Bz)
-    Bp, Bm = tr.interp2spect_vect(aux.mats, interp.Br, interp.Bt)
+    Ep, Em, Ez, Bp, Bm, Bz = tr.interp2spect_EB_fields(
+        aux.mats, interp.Er, interp.Et, interp.Ez,
+        interp.Br, interp.Bt, interp.Bz)
     updates = dict(Ep=Ep, Em=Em, Ez=Ez, Bp=Bp, Bm=Bm, Bz=Bz)
     if use_pml:
         Ep_pml, Em_pml = tr.interp2spect_vect(
@@ -319,6 +315,28 @@ def make_step(config: GridConfig, species_configs, options: StepOptions):
     """Build the jit-compiled single step function (donates the state)."""
     return jax.jit(make_step_fn(config, species_configs, options),
                    donate_argnums=(0,))
+
+
+def make_prepare(config: GridConfig, species_configs, options: StepOptions):
+    """Jit-compiled preparation before a run of steps: refresh spectral
+    E/B from the interpolation grid and deposit rho_prev.
+
+    (Reference: main.py:408-415 initial transform and :435-449 initial
+    rho_prev deposit.)
+    """
+    species_configs = tuple(species_configs)
+
+    def prepare(state: SimState, aux: FieldAux) -> SimState:
+        spect = interp2spect_EB(aux, state.interp, state.spect,
+                                use_pml=config.use_pml)
+        rho = deposit_rho_spect(config, aux, state.species, species_configs,
+                                state.zmin)
+        if options.filter_currents:
+            rho = ps.filter_scalar(rho, aux.filter_z, aux.filter_r)
+        spect = dataclasses.replace(spect, rho_prev=rho)
+        return dataclasses.replace(state, spect=spect)
+
+    return jax.jit(prepare, donate_argnums=(0,))
 
 
 def make_multi_step(config: GridConfig, species_configs,

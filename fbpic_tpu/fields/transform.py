@@ -152,3 +152,99 @@ def spect2partial_interp(mats: TransformMatrices, G: CArr) -> CArr:
 
 def partial_interp2spect(mats: TransformMatrices, F: CArr) -> CArr:
     return fft_z(mats, F)
+
+
+# ---------------------------------------------------------------------
+# Fused multi-field transforms
+#
+# The MXU wants wide GEMMs: a single field's DFT is (Nz, Nz) @ (Nz, Nr)
+# with Nr ~ 50 -- badly under-filled lanes.  Stacking every field
+# component (and re/im) along the trailing axis turns the whole
+# transform stage into one well-tiled matmul.
+# ---------------------------------------------------------------------
+
+def _zmatmul_many(Wre, Wim, fields):
+    """Apply the z-axis complex matrix to a list of CArr (Nm, Nz, Nr).
+
+    Concatenates all re/im planes along the trailing axis into one GEMM.
+    """
+    n = len(fields)
+    Nm, Nz, Nr = fields[0].shape
+    pe = Wre.dtype
+    Q = jnp.concatenate([x for F in fields for x in (F.re, F.im)], axis=-1)
+    A = jnp.einsum("uz,mzq->muq", Wre, Q, preferred_element_type=pe)
+    B = jnp.einsum("uz,mzq->muq", Wim, Q, preferred_element_type=pe)
+    out = []
+    for i in range(n):
+        re_sl = slice((2 * i) * Nr, (2 * i + 1) * Nr)
+        im_sl = slice((2 * i + 1) * Nr, (2 * i + 2) * Nr)
+        # (re + i im) * (Wre + i Wim)
+        out.append(CArr(A[..., re_sl] - B[..., im_sl],
+                        A[..., im_sl] + B[..., re_sl]))
+    return out
+
+
+def fft_z_many(mats: TransformMatrices, fields):
+    return _zmatmul_many(mats.Wf_re, mats.Wf_im, fields)
+
+
+def ifft_z_many(mats: TransformMatrices, fields):
+    return _zmatmul_many(mats.Wi_re, mats.Wi_im, fields)
+
+
+def _dht_many(M_list, fields):
+    """Batched DHT over (matrix, field) pairs sharing the mode batch.
+
+    M_list: list of (Nm, Nr, Nr); fields: matching list of CArr.
+    One einsum with batch dim = len(list) * Nm.
+    """
+    M = jnp.concatenate(M_list, axis=0)
+    Fre = jnp.concatenate([F.re for F in fields], axis=0)
+    Fim = jnp.concatenate([F.im for F in fields], axis=0)
+    pe = M.dtype
+    Re = jnp.einsum("bzr,brs->bzs", Fre, M, preferred_element_type=pe)
+    Im = jnp.einsum("bzr,brs->bzs", Fim, M, preferred_element_type=pe)
+    Nm = fields[0].shape[0]
+    return [CArr(Re[i * Nm:(i + 1) * Nm], Im[i * Nm:(i + 1) * Nm])
+            for i in range(len(fields))]
+
+
+def spect2interp_EB_fields(mats: TransformMatrices, Ep, Em, Ez, Bp, Bm, Bz):
+    """Fused spect->interp for all 6 E/B components."""
+    p_e, m_e, z_e, p_b, m_b, z_b = _dht_many(
+        [mats.invMp, mats.invMm, mats.invM0,
+         mats.invMp, mats.invMm, mats.invM0],
+        [Ep, Em, Ez, Bp, Bm, Bz])
+    Er, Et = pm_to_rt(p_e, m_e)
+    Br, Bt = pm_to_rt(p_b, m_b)
+    out = ifft_z_many(mats, [Er, Et, z_e, Br, Bt, z_b])
+    return tuple(out)  # (Er, Et, Ez, Br, Bt, Bz)
+
+
+def interp2spect_EB_fields(mats: TransformMatrices, Er, Et, Ez, Br, Bt, Bz):
+    """Fused interp->spect for all 6 E/B components."""
+    fr_e, ft_e, fz_e, fr_b, ft_b, fz_b = fft_z_many(
+        mats, [Er, Et, Ez, Br, Bt, Bz])
+    p_e, m_e = rt_to_pm(fr_e, ft_e)
+    p_b, m_b = rt_to_pm(fr_b, ft_b)
+    Ep, Em, Ez_s, Bp, Bm, Bz_s = _dht_many(
+        [mats.Mp, mats.Mm, mats.M0, mats.Mp, mats.Mm, mats.M0],
+        [p_e, m_e, fz_e, p_b, m_b, fz_b])
+    return Ep, Em, Ez_s, Bp, Bm, Bz_s
+
+
+def interp2spect_J_fields(mats: TransformMatrices, Jr, Jt, Jz):
+    """Fused interp->spect for the three current components."""
+    fr, ft, fz = fft_z_many(mats, [Jr, Jt, Jz])
+    p, m = rt_to_pm(fr, ft)
+    Jp, Jm, Jz_s = _dht_many([mats.Mp, mats.Mm, mats.M0], [p, m, fz])
+    return Jp, Jm, Jz_s
+
+
+def interp2spect_rho_J_fields(mats: TransformMatrices, rho, Jr, Jt, Jz):
+    """Fused interp->spect for rho + J together (one GEMM stage)."""
+    frho, fr, ft, fz = fft_z_many(mats, [rho, Jr, Jt, Jz])
+    p, m = rt_to_pm(fr, ft)
+    rho_s, Jp, Jm, Jz_s = _dht_many(
+        [mats.M0, mats.Mp, mats.Mm, mats.M0], [frho, p, m, fz])
+    return rho_s, Jp, Jm, Jz_s

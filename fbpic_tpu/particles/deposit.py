@@ -138,13 +138,21 @@ def _deposit_channels(geom, channel_vals, flip_parities, Nm, Nzb, Nrb,
     v10 = v * (sz1[:, None] * sr0)
     v11 = v * (sz1[:, None] * sr1)
 
-    vals = jnp.concatenate([v00, v01, v10, v11], axis=0)   # (4Np, C)
-    idx = jnp.concatenate([idx00, idx00 + 1, idx00 + Nrb, idx00 + Nrb + 1])
-
+    # Scatter ONCE at the base corner with 4x channels; the TPU scatter
+    # cost is per-index (channels ride along nearly free), so folding the
+    # 2x2 footprint into channels and applying the corner offsets as
+    # shifted adds on the grid is ~4x cheaper than scattering 4 corners.
+    vals = jnp.concatenate([v00, v01, v10, v11], axis=1)   # (Np, 4C)
     C = channel_vals.shape[1]
-    buf = jnp.zeros((Nzb * Nrb, C), dtype=v.dtype).at[idx].add(vals)
-    buf = buf.reshape(Nzb, Nrb, C)
-    return _fold_guard_cells(buf, Nz, Nr, zfold)
+    buf = jnp.zeros((Nzb * Nrb, 4 * C), dtype=v.dtype).at[idx00].add(vals)
+    buf = buf.reshape(Nzb, Nrb, 4, C)
+
+    out = buf[:, :, 0, :]
+    out = out.at[:, 1:, :].add(buf[:, :-1, 1, :])          # (iz, ir+1)
+    out = out.at[1:, :, :].add(buf[:-1, :, 2, :])          # (iz+1, ir)
+    out = out.at[1:, 1:, :].add(buf[:-1, :-1, 3, :])       # (iz+1, ir+1)
+
+    return _fold_guard_cells(out, Nz, Nr, zfold)
 
 
 def _channel_meta(Nm, n_components, comp_flip_parity, dtype):

@@ -116,20 +116,18 @@ def gather_fields_linear(
         pr_list.append(pr)
         pi_list.append(pi)
 
-    # Combine channels: for channel (comp, m, re) weight = w_m * phase.re,
-    # for (comp, m, im) weight = -w_m * phase.im  (Re(a*p)=a.re p.re - a.im p.im)
-    out = []
-    for comp in range(6):
-        acc = jnp.zeros_like(x)
-        for m in range(Nm):
-            w_m = 1.0 if m == 0 else 2.0
-            base = (comp * Nm + m) * 2
-            acc = acc + w_m * (Fm[:, base] * pr_list[m]
-                               - Fm[:, base + 1] * pi_list[m])
-        out.append(acc)
+    # Combine channels with one contraction over (mode, re/im):
+    # Re(a * p) = a.re * p.re - a.im * p.im, with mode weight 1 / 2.
+    mode_w = jnp.asarray([1.0] + [2.0] * (Nm - 1), dtype=rdt)
+    W = jnp.stack(
+        [jnp.stack(pr_list, axis=-1) * mode_w,
+         -jnp.stack(pi_list, axis=-1) * mode_w], axis=-1)   # (Np, Nm, 2)
+    Fm4 = Fm.reshape(Fm.shape[0], 6, Nm, 2)
+    out = jnp.einsum("pcmt,pmt->pc", Fm4, W)                 # (Np, 6)
 
     in_range = (r < rmax_gather).astype(rdt)
-    Fr_E, Ft_E, Fz_E, Fr_B, Ft_B, Fz_B = [o * in_range for o in out]
+    out = out * in_range[:, None]
+    Fr_E, Ft_E, Fz_E, Fr_B, Ft_B, Fz_B = [out[:, i] for i in range(6)]
 
     Ex = cos * Fr_E - sin * Ft_E
     Ey = sin * Fr_E + cos * Ft_E

@@ -1,0 +1,74 @@
+"""Laser injection + vacuum propagation tests.
+
+Counterpart of /root/reference/tests/test_laser.py: inject a Gaussian
+pulse, propagate in vacuum, and check centroid motion and the
+diffraction-driven on-axis amplitude decay against paraxial theory.
+"""
+import numpy as np
+import pytest
+
+from fbpic_tpu import Simulation
+from fbpic_tpu.constants import c
+from fbpic_tpu.lpa_utils.laser import add_laser_pulse, GaussianLaser
+
+# Box
+Nz, Nr, Nm = 300, 48, 2
+zmax = 30.e-6
+rmax = 30.e-6
+dt = zmax / Nz / c
+# Laser
+a0 = 0.01
+waist = 4.e-6
+tau = 10.e-15
+z0 = 10.e-6
+lambda0 = 0.8e-6
+
+
+def _fit_a0_and_centroid(sim):
+    """On-axis laser amplitude (from |Er| mode 1 near axis) and centroid."""
+    from scipy.signal import hilbert
+    Er = sim.get_interp_field("Er", 1)  # mode 1 carries linear pol.
+    # Carrier-free envelope via the analytic signal along z
+    prof = 2 * Er[:, 0].real
+    env = np.abs(hilbert(prof))
+    z = sim.grid_z()
+    centroid = np.sum(z * env**2) / np.sum(env**2)
+    return env.max(), centroid
+
+
+def test_gaussian_laser_propagation():
+    sim = Simulation(Nz, zmax, Nr, rmax, Nm, dt, random_seed=0)
+    profile = GaussianLaser(a0=a0, waist=waist, tau=tau, z0=z0,
+                            lambda0=lambda0)
+    add_laser_pulse(sim, profile)
+
+    from scipy.constants import m_e, e
+    E0 = a0 * m_e * c**2 * (2 * np.pi / lambda0) / e
+
+    amp0, cent0 = _fit_a0_and_centroid(sim)
+    assert abs(cent0 - z0) < 2 * zmax / Nz
+    assert abs(amp0 - E0) < 0.05 * E0
+
+    # Propagate half the box
+    N_step = Nz // 3
+    sim.step(N_step, show_progress=False)
+    amp1, cent1 = _fit_a0_and_centroid(sim)
+
+    # Centroid moved at c
+    expected_cent = z0 + c * sim.time
+    assert abs(cent1 - expected_cent) < 3 * zmax / Nz
+
+    # On-axis amplitude decays like w0/w(z) (diffraction)
+    zr = np.pi * waist**2 / lambda0
+    w_over_w0 = np.sqrt(1 + (c * sim.time / zr) ** 2)
+    expected_amp = E0 / w_over_w0
+    assert abs(amp1 - expected_amp) < 0.07 * E0
+
+    # Energy is in mode 1 only (linear polarization)
+    Er0 = sim.get_interp_field("Er", 0)
+    Er1 = sim.get_interp_field("Er", 1)
+    assert np.abs(Er0).max() < 1e-6 * np.abs(Er1).max()
+
+
+if __name__ == "__main__":
+    test_gaussian_laser_propagation()
