@@ -125,15 +125,47 @@ class Simulation:
             boundaries = {"z": boundaries, "r": "reflective"}
 
         self.boundaries = boundaries
+        boundaries_z = boundaries.get("z", "periodic")
+        dz = (zmax - zmin) / Nz
+
+        # For open z boundaries, the internal grid is enlarged by
+        # guard + damping + injection cells at each end; these absorb the
+        # periodic wrap-around of the spectral solver (reference:
+        # boundary_communicator.py:224-278).
+        if boundaries_z == "open":
+            if n_guard is None:
+                if n_order == -1:
+                    n_guard_ = 64
+                else:
+                    from ..fields.stencil import get_stencil_reach
+                    n_guard_ = get_stencil_reach(
+                        Nz, dz, c * dt, n_order, v_comoving,
+                        use_galilean if v_comoving is not None else False) + 1
+            else:
+                n_guard_ = n_guard
+            if n_damp is None:
+                n_damp = {"z": 64, "r": 32}
+            nz_damp_ = n_damp["z"] if isinstance(n_damp, dict) else n_damp
+            n_inject_ = n_guard_ // 2
+        else:
+            n_guard_ = nz_damp_ = n_inject_ = 0
+
+        nd = n_guard_ + nz_damp_ + n_inject_
+        Nz_total = Nz + 2 * nd
+        zmin_total = zmin - nd * dz
+        self.Nz_phys = Nz
+        self.nd_edge = nd
+
         self.config = GridConfig(
-            Nz=Nz, Nr=Nr, Nm=Nm,
-            dz=(zmax - zmin) / Nz, dr=rmax / Nr, rmax=rmax, dt=dt,
+            Nz=Nz_total, Nr=Nr, Nm=Nm,
+            dz=dz, dr=rmax / Nr, rmax=rmax, dt=dt,
             n_order=n_order, v_comoving=v_comoving,
             use_galilean=(use_galilean if v_comoving is not None else False),
             use_pml=(boundaries.get("r") == "open"),
             current_correction=current_correction,
             particle_shape=particle_shape,
-            boundaries_z=boundaries.get("z", "periodic"),
+            boundaries_z=boundaries_z,
+            n_guard=n_guard_, nz_damp=nz_damp_, n_inject=n_inject_,
         )
         self.zmax = zmax
         self.dt = dt
@@ -163,9 +195,13 @@ class Simulation:
             interp=InterpFields.zeros(self.config),
             species=(),
             time=jnp.asarray(0.0),
-            zmin=jnp.asarray(float(zmin)),
+            zmin=jnp.asarray(float(zmin_total)),
             iteration=jnp.asarray(0, dtype=jnp.int32),
+            mw_zref=jnp.asarray(float(zmin_total)),
         )
+        self.moving_win = None          # set by set_moving_window
+        self._injector_configs = []     # per species: InjectorConfig | None
+        self._injector_auxes = []       # per species: InjectorAux | None
 
         self.ptcl = []          # list of SpeciesView
         self.diags = []
@@ -207,8 +243,13 @@ class Simulation:
     def zmin(self):
         return float(self.state.zmin)
 
-    def grid_z(self):
-        return self.zmin + (0.5 + np.arange(self.config.Nz)) * self.config.dz
+    def grid_z(self, physical=True):
+        """z positions of grid cells; physical=True excludes the
+        guard/damp/injection cells of open boundaries."""
+        z_full = self.zmin + (0.5 + np.arange(self.config.Nz)) * self.config.dz
+        if physical and self.nd_edge > 0:
+            return z_full[self.nd_edge:self.nd_edge + self.Nz_phys]
+        return z_full
 
     def grid_r(self):
         return (0.5 + np.arange(self.config.Nr)) * self.config.dr
@@ -226,6 +267,8 @@ class Simulation:
                         boost_positions_in_dens_func=False,
                         is_tracer=False, capacity=None, name=None):
         """Create a new species; returns a SpeciesView."""
+        injector_cfg = None
+        injector_aux = None
         if n is not None:
             for var in (p_nz, p_nr, p_nt):
                 if var is None:
@@ -240,6 +283,30 @@ class Simulation:
                 Npz, p_zmin_, p_zmax_, Npr, p_rmin_, p_rmax_, p_nt, n,
                 dens_func, ux_m, uy_m, uz_m, ux_th, uy_th, uz_th,
                 rng=self._rng)
+            if continuous_injection:
+                from ..particles.injection import (
+                    InjectorConfig, build_injector_aux)
+                dz_particles = self.config.dz / p_nz
+                dens_args = None
+                if dens_func is not None:
+                    from ..particles.state import _check_dens_func_arguments
+                    dens_args = ("xyz" if _check_dens_func_arguments(
+                        dens_func) == ["x", "y", "z"] else "zr")
+                injector_cfg = InjectorConfig(
+                    dz_particles=dz_particles, n=n,
+                    ux_m=ux_m, uy_m=uy_m, uz_m=uz_m,
+                    ux_th=ux_th, uy_th=uy_th, uz_th=uz_th,
+                    dens_func=dens_func, dens_args=dens_args or "zr")
+                injector_aux = build_injector_aux(
+                    Npr, p_rmin_, p_rmax_, p_nt, injector_cfg,
+                    rng=self._rng)
+                # Ring buffer must hold a whole box worth of plasma
+                cols_in_box = int(np.ceil(
+                    self.config.Nz * self.config.dz / dz_particles))
+                col_size = Npr * p_nt
+                needed = int(1.2 * cols_in_box * col_size)
+                capacity = max(capacity or 0, needed,
+                               int(1.2 * max(Ntot, 1)))
         else:
             Ntot = 0
             x = y = z = ux = uy = uz = inv_gamma = w = np.empty(0)
@@ -251,8 +318,19 @@ class Simulation:
         )
         pstate = make_particle_state(x, y, z, ux, uy, uz, inv_gamma, w,
                                      capacity=capacity)
+        if injector_cfg is not None:
+            rdt = pstate.z.dtype
+            z_end = (float(np.max(z)) + 0.5 * injector_cfg.dz_particles
+                     if Ntot > 0 else float(self.zmax))
+            pstate = dataclasses.replace(
+                pstate,
+                next_free=jnp.asarray(Ntot, dtype=jnp.int32),
+                inj_z_end=jnp.asarray(z_end, dtype=rdt),
+            )
         self.species_configs.append(sc)
         self._species_counts.append(Ntot)
+        self._injector_configs.append(injector_cfg)
+        self._injector_auxes.append(injector_aux)
         self.state = dataclasses.replace(
             self.state, species=self.state.species + (pstate,))
         view = SpeciesView(self, len(self.species_configs) - 1)
@@ -285,6 +363,8 @@ class Simulation:
                 f"Unknown field {name!r}; expected one of Er, Et, Ez, Br, "
                 "Bt, Bz, rho, Jr, Jt, Jz")
         arr = arr.to_numpy()
+        if self.nd_edge > 0:
+            arr = arr[:, self.nd_edge:self.nd_edge + self.Nz_phys, :]
         return arr if m is None else arr[m]
 
     def set_interp_EB(self, **fields):
@@ -349,10 +429,43 @@ class Simulation:
             )
         return self._step_fns[key]
 
+    def set_moving_window(self, v=None, gamma_boost=None):
+        """Attach a moving window of speed v (default c) to the simulation.
+
+        Requires open z boundaries (reference: main.py:1004-1033).
+        """
+        if self.config.boundaries_z != "open":
+            raise ValueError(
+                "A moving window requires boundaries={'z': 'open'}.")
+        if v is None:
+            v = c
+        if gamma_boost is not None and self.boost is not None:
+            v, = self.boost.velocity([v])
+        self.moving_win = float(v)
+        self.state = dataclasses.replace(
+            self.state, mw_zref=jnp.asarray(self.zmin,
+                                            dtype=self.state.zmin.dtype))
+        self._step_fns.clear()
+
+    def get_rmax_gather(self):
+        """Radius beyond which particles no longer gather fields
+        (excludes the radial PML cells; reference:
+        boundary_communicator.py get_rmax)."""
+        if self.config.use_pml:
+            nr_damp = 32
+            return self.config.rmax - nr_damp * self.config.dr
+        return self.config.rmax
+
     def step(self, N=1, correct_currents=True, correct_divE=False,
              use_true_rho=False, move_positions=True, move_momenta=True,
              show_progress=False):
         """Perform N PIC cycles."""
+        mw_v = self.moving_win
+        injectors = ()
+        inj_auxes = ()
+        if mw_v is not None:
+            injectors = tuple(self._injector_configs)
+            inj_auxes = tuple(self._injector_auxes)
         options = StepOptions(
             correct_currents=correct_currents,
             correct_divE=correct_divE,
@@ -360,14 +473,17 @@ class Simulation:
             move_positions=move_positions,
             move_momenta=move_momenta,
             filter_currents=self.filter_currents,
-            rmax_gather=self.config.rmax,
+            rmax_gather=self.get_rmax_gather(),
+            moving_window_v=mw_v,
+            injectors=injectors,
         )
         step_fn, prepare_fn = self._get_step_fn(options)
+        self._inj_auxes_cache = inj_auxes
 
         # Refresh spectral E/B from the interpolation grid (captures any
         # user-set fields), then the initial rho_prev deposit
         # (reference: main.py:408-415 and :435-449)
-        self.state = prepare_fn(self.state, self.aux)
+        self.state = prepare_fn(self.state, self.aux, inj_auxes)
 
         for diag in self.diags:
             diag.write(self)
@@ -382,7 +498,7 @@ class Simulation:
                 period = min(getattr(d, "period", N) for d in self.diags)
                 next_boundary = period - (it % period)
                 chunk = min(chunk, max(1, next_boundary))
-            self.state = step_fn(self.state, self.aux, chunk)
+            self.state = step_fn(self.state, self.aux, chunk, inj_auxes)
             done += chunk
             it += chunk
             for diag in self.diags:

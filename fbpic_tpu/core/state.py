@@ -23,3 +23,5 @@ class SimState:
     time: jax.Array        # scalar, simulation time [s]
     zmin: jax.Array        # scalar, left edge of the local grid [m]
     iteration: jax.Array   # int32 scalar
+    # Continuous moving-window reference position (None = no window)
+    mw_zref: jax.Array = None

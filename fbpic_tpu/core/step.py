@@ -40,6 +40,10 @@ class StepOptions:
     move_momenta: bool = True
     # rmax beyond which particles no longer gather fields (physical domain)
     rmax_gather: float = float("inf")
+    # Moving window speed (None = no moving window)
+    moving_window_v: object = None
+    # Per-species (InjectorConfig | None) for continuous injection
+    injectors: tuple = ()
 
 
 # ---------------------------------------------------------------------
@@ -240,6 +244,107 @@ def half_push_x(config: GridConfig, options: StepOptions, sp, zmin):
 
 
 # ---------------------------------------------------------------------
+# Moving window, open boundaries, continuous injection
+# ---------------------------------------------------------------------
+
+def shift_spectral_fields(config, aux, spect: SpectralFields, n_move):
+    """Shift all spectral fields by n_move cells (moving window).
+
+    Multiplication by exp(i kz_true dz)^n_move in spectral space
+    (reference: boundaries/moving_window.py:134-276).
+    """
+    ph = aux.kz_true * (config.dz * n_move.astype(aux.kz_true.dtype))
+    shift = CArr(jnp.cos(ph), jnp.sin(ph))[None, :, None]
+    names = ["Ep", "Em", "Ez", "Bp", "Bm", "Bz", "rho_prev"]
+    if config.use_pml:
+        names += ["Ep_pml", "Em_pml", "Bp_pml", "Bm_pml"]
+    updates = {n: getattr(spect, n) * shift for n in names}
+    return dataclasses.replace(spect, **updates)
+
+
+def damp_EB_z(config, aux, spect: SpectralFields) -> SpectralFields:
+    """Damp E and B near the open z boundaries.
+
+    Done in partial-interpolation space (inverse z-DFT only): the
+    damping profile is diagonal in z and commutes with the radial
+    transform (reference: main.py:719-768, exchange_and_damp_EB).
+    """
+    fields = [spect.Ep, spect.Em, spect.Ez, spect.Bp, spect.Bm, spect.Bz]
+    names = ["Ep", "Em", "Ez", "Bp", "Bm", "Bz"]
+    if config.use_pml:
+        fields += [spect.Ep_pml, spect.Em_pml, spect.Bp_pml, spect.Bm_pml]
+        names += ["Ep_pml", "Em_pml", "Bp_pml", "Bm_pml"]
+    partial = tr.ifft_z_many(aux.mats, fields)
+    damp = aux.damp_z[None, :, None]
+    partial = [f * damp for f in partial]
+    back = tr.fft_z_many(aux.mats, partial)
+    return dataclasses.replace(spect, **dict(zip(names, back)))
+
+
+def remove_outside_particles(config, sp, zmin):
+    """Mark particles outside the grid as dead (w = 0) and park them.
+
+    Open-z analog of the reference's particle removal
+    (particle_buffer_handling.py:17-178); with no neighbor domains the
+    buffers are simply dropped.
+    """
+    Lz = config.Nz * config.dz
+    z_lo = zmin + 0.5 * config.dz
+    z_hi = zmin + Lz - 0.5 * config.dz
+    dead = (sp.z < z_lo) | (sp.z > z_hi)
+    z_park = zmin + 0.5 * Lz
+    return dataclasses.replace(
+        sp,
+        w=jnp.where(dead, 0.0, sp.w),
+        z=jnp.where(dead, z_park, sp.z),
+    )
+
+
+def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
+                         zmin, iteration):
+    """Inject new plasma columns at the right edge (ring buffer write).
+
+    Returns (sp_new, new_particles_dict) -- the latter is used to add
+    the new charge to rho_prev.
+    """
+    from ..particles.injection import generate_columns, write_ring, \
+        MAX_INJECT_COLS
+
+    rdt = sp.z.dtype
+    v_mw = options.moving_window_v
+    # Injection plane: ahead of the physical+damp region, minus the
+    # injection cells (reference: continuous_injection.py:100-128)
+    z_inject = (
+        zmin + (config.Nz - config.n_guard) * config.dz
+        + (3 - config.n_inject) * config.dz
+        + config.dt * (v_mw - inj_cfg.v_end_plasma)
+    )
+    n_cols = jnp.clip(
+        jnp.floor((z_inject - sp.inj_z_end) / inj_cfg.dz_particles
+                  ).astype(jnp.int32),
+        0, MAX_INJECT_COLS)
+
+    key = jax.random.fold_in(jax.random.PRNGKey(0), iteration)
+    new, new_z_end = generate_columns(inj_cfg, inj_aux, sp.inj_z_end,
+                                      n_cols, key, rdt)
+
+    cap = sp.capacity
+    n_write = new["x"].shape[0]
+    col_size = inj_aux.r.shape[0]
+    slot_idx = jnp.arange(n_write)
+    mask = slot_idx < n_cols * col_size
+
+    updates = {}
+    for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
+        updates[name] = write_ring(getattr(sp, name), sp.next_free,
+                                   new[name], cap, mask)
+    updates["next_free"] = jnp.mod(
+        sp.next_free + n_cols * col_size, cap).astype(sp.next_free.dtype)
+    updates["inj_z_end"] = new_z_end
+    return dataclasses.replace(sp, **updates), new
+
+
+# ---------------------------------------------------------------------
 # The step
 # ---------------------------------------------------------------------
 
@@ -247,11 +352,45 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions):
     """Build the pure (unjitted) single-step function step(state, aux)."""
     species_configs = tuple(species_configs)
 
-    def step(state: SimState, aux: FieldAux) -> SimState:
+    def step(state: SimState, aux: FieldAux, inj_auxes=()) -> SimState:
         spect, interp = state.spect, state.interp
         species = list(state.species)
         zmin = state.zmin
+        mw_zref = state.mw_zref
         dt = config.dt
+
+        # --- Open boundaries: remove out-of-grid particles; inject new
+        #     plasma columns for the moving window (ring-buffer write)
+        if config.boundaries_z == "open":
+            species = [remove_outside_particles(config, sp, zmin)
+                       for sp in species]
+        if options.moving_window_v is not None:
+            new_rho = None
+            for i, (sp, sc) in enumerate(zip(species, species_configs)):
+                inj_cfg = options.injectors[i] if options.injectors else None
+                if inj_cfg is None:
+                    continue
+                sp, new = continuous_injection(
+                    config, options, aux, sp, sc, inj_cfg, inj_auxes[i],
+                    zmin, state.iteration)
+                species[i] = sp
+                # Add the new particles' charge to rho_prev (the reference
+                # re-deposits rho_prev after injection; adding only the
+                # new columns is equivalent and much cheaper)
+                contrib = deposit_rho_linear(
+                    new["x"], new["y"], new["z"], new["w"], sc.q, config.Nm,
+                    1.0 / config.dz, zmin, config.Nz,
+                    1.0 / config.dr, 0.0, config.Nr,
+                    aux.ruyten_linear, zfold=_zfold(config))
+                new_rho = contrib if new_rho is None else new_rho + contrib
+            if new_rho is not None:
+                new_rho = new_rho * aux.invvol[:, None, :]
+                new_rho_s = tr.interp2spect_scal(aux.mats, new_rho)
+                if options.filter_currents:
+                    new_rho_s = ps.filter_scalar(new_rho_s, aux.filter_z,
+                                                 aux.filter_r)
+                spect = dataclasses.replace(
+                    spect, rho_prev=spect.rho_prev + new_rho_s)
 
         # --- Gather + momentum push + first half position push
         species = [
@@ -296,6 +435,18 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions):
                 aux.kz, aux.kr, aux.inv_k2)
             spect = dataclasses.replace(spect, Ep=Ep, Em=Em, Ez=Ez)
 
+        # --- Moving window: shift the spectral fields and the grid edge
+        if options.moving_window_v is not None:
+            mw_zref = mw_zref + options.moving_window_v * dt
+            n_move = jnp.floor((mw_zref - zmin) / config.dz
+                               ).astype(jnp.int32)
+            spect = shift_spectral_fields(config, aux, spect, n_move)
+            zmin = zmin + n_move.astype(zmin.dtype) * config.dz
+
+        # --- Open-z boundaries: damp E/B near the edges
+        if config.boundaries_z == "open" and config.nz_damp > 0:
+            spect = damp_EB_z(config, aux, spect)
+
         # --- Fields back to the interpolation grid for the next gather
         interp = spect2interp_EB(aux, spect, interp, use_pml=config.use_pml)
 
@@ -306,6 +457,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions):
             time=state.time + dt,
             zmin=zmin,
             iteration=state.iteration + 1,
+            mw_zref=mw_zref,
         )
 
     return step
@@ -326,7 +478,7 @@ def make_prepare(config: GridConfig, species_configs, options: StepOptions):
     """
     species_configs = tuple(species_configs)
 
-    def prepare(state: SimState, aux: FieldAux) -> SimState:
+    def prepare(state: SimState, aux: FieldAux, inj_auxes=()) -> SimState:
         spect = interp2spect_EB(aux, state.interp, state.spect,
                                 use_pml=config.use_pml)
         rho = deposit_rho_spect(config, aux, state.species, species_configs,
@@ -351,9 +503,10 @@ def make_multi_step(config: GridConfig, species_configs,
     """
     step = make_step_fn(config, species_configs, options)
 
-    def multi_step(state: SimState, aux: FieldAux, n_steps) -> SimState:
+    def multi_step(state: SimState, aux: FieldAux, n_steps,
+                   inj_auxes=()) -> SimState:
         return jax.lax.fori_loop(
-            0, n_steps, lambda i, s: step(s, aux), state)
+            0, n_steps, lambda i, s: step(s, aux, inj_auxes), state)
 
     return jax.jit(multi_step, donate_argnums=(0,))
 

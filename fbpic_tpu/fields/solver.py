@@ -43,10 +43,21 @@ class GridConfig:
     current_correction: str = "curl-free"
     particle_shape: str = "linear"
     boundaries_z: str = "periodic"  # 'periodic' or 'open'
+    # Open-z boundary cell accounting (0 for periodic); the grid's Nz
+    # INCLUDES 2*(n_guard + nz_damp + n_inject) extra cells
+    # (reference: boundary_communicator.py:224-278)
+    n_guard: int = 0
+    nz_damp: int = 0
+    n_inject: int = 0
 
     @property
     def use_comoving(self):
         return self.v_comoving is not None
+
+    @property
+    def nd_edge(self):
+        """Total guard+damp+inject cells at each z edge."""
+        return self.n_guard + self.nz_damp + self.n_inject
 
 
 @pytree_dataclass
@@ -144,6 +155,8 @@ class FieldAux:
     ruyten_cubic: jax.Array   # (2, Nr+1)
     # Moving-window spectral shift per cell:
     field_shift: jax.Array   # (Nz,) complex = exp(1j kz_true dz)
+    # Open-z damping profile (None for periodic z):
+    damp_z: Optional[jax.Array] = None   # (Nz,) multiplicative
 
 
 def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
@@ -234,4 +247,28 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
         ruyten_linear=dev_r(np.stack([ruyt_lin0, ruyt_lin1])),
         ruyten_cubic=dev_r(np.stack([ruyt_cub0, ruyt_cub1])),
         field_shift=CArr.from_numpy(np.exp(1.0j * kz_true * config.dz), rdt),
+        damp_z=(dev_r(_damp_profile_z(config))
+                if config.boundaries_z == "open" else None),
     )
+
+
+def _damp_profile_z(config: GridConfig):
+    """Full-grid multiplicative damping profile for open z boundaries.
+
+    sin^2 ramp over nz_damp cells, zero over the guard+injection cells,
+    at both ends (reference: boundary_communicator.py:909-945).
+    """
+    n_guard, nz_damp, n_inject = (config.n_guard, config.nz_damp,
+                                  config.n_inject)
+    nd = config.nd_edge
+    i_cell = np.arange(nd)
+    ramp = np.where(
+        i_cell < n_guard + n_inject + nz_damp / 2.0,
+        np.sin((i_cell - (n_guard + n_inject)) * np.pi / nz_damp) ** 2,
+        1.0,
+    )
+    ramp = np.where(i_cell < n_guard + n_inject, 0.0, ramp)
+    profile = np.ones(config.Nz)
+    profile[:nd] = ramp
+    profile[config.Nz - nd:] = ramp[::-1]
+    return profile

@@ -17,7 +17,9 @@ def get_laser_Er_Et(sim, laser_profile, boost=None):
     Returns (Er_m, Et_m): complex (Nm, Nz, Nr) mode arrays.
     """
     Nm = sim.config.Nm
-    z = sim.grid_z()
+    # Evaluate on the full internal grid (incl. damp cells), like the
+    # reference's with_damp=True global grid
+    z = sim.grid_z(physical=False)
     r = sim.grid_r()
     ntheta = 2 * Nm
     theta = (2 * np.pi / ntheta) * np.arange(ntheta)

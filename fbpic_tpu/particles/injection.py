@@ -1,0 +1,133 @@
+"""Continuous plasma injection for the moving window (shape-stable).
+
+TPU-native design: instead of reallocating arrays when new plasma
+columns appear (reference:
+/root/reference/fbpic/particles/injection/continuous_injection.py),
+each species' particle array is a fixed-capacity ring buffer.  The
+moving window kills particles leaving the left edge (w = 0) and the
+injector writes new columns over the oldest slots with
+`lax.dynamic_update_slice` -- all inside the jit step.
+
+Up to MAX_INJECT_COLS columns can be injected per step (one column per
+step suffices for v <= c moving windows with dz_particles >= dz/2).
+"""
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass, static_dataclass
+from ..utils.dtypes import real_dtype
+
+MAX_INJECT_COLS = 4
+
+
+@static_dataclass
+class InjectorConfig:
+    """Static continuous-injection parameters of one species."""
+    dz_particles: float
+    n: float
+    ux_m: float = 0.0
+    uy_m: float = 0.0
+    uz_m: float = 0.0
+    ux_th: float = 0.0
+    uy_th: float = 0.0
+    uz_th: float = 0.0
+    dens_func: object = None     # jnp-traceable callable (z, r) or (x,y,z)
+    dens_args: str = "zr"        # 'zr' or 'xyz'
+
+    @property
+    def v_end_plasma(self):
+        from ..constants import c
+        gamma = np.sqrt(1 + self.ux_m**2 + self.uy_m**2 + self.uz_m**2)
+        return c * self.uz_m / gamma
+
+
+@pytree_dataclass
+class InjectorAux:
+    """Device template for one injected column of particles."""
+    r: jax.Array        # (col_size,) radii
+    cos_t: jax.Array    # (col_size,) cos(theta)
+    sin_t: jax.Array    # (col_size,)
+    w_base: jax.Array   # (col_size,) weight without dens_func
+
+
+def build_injector_aux(Npr, rmin, rmax, Nptheta, injector: InjectorConfig,
+                       rng=None) -> InjectorAux:
+    """Host-side construction of the per-column particle template."""
+    rng = rng or np.random
+    dtype = real_dtype()
+    dr_p = (rmax - rmin) / max(Npr, 1)
+    r_reg = rmin + dr_p * (np.arange(Npr) + 0.5)
+    dtheta = 2 * np.pi / Nptheta
+    theta_reg = dtheta * np.arange(Nptheta)
+    rp, thetap = np.meshgrid(r_reg, theta_reg, indexing="ij")
+    # Unalign the angles between radial rows (same shift per row)
+    thetap = thetap + 2 * np.pi * rng.random_sample((Npr, 1))
+    r = rp.flatten()
+    theta = thetap.flatten()
+    w = injector.n * r * dtheta * dr_p * injector.dz_particles
+    return InjectorAux(
+        r=jnp.asarray(r, dtype),
+        cos_t=jnp.asarray(np.cos(theta), dtype),
+        sin_t=jnp.asarray(np.sin(theta), dtype),
+        w_base=jnp.asarray(w, dtype),
+    )
+
+
+def generate_columns(inj_cfg: InjectorConfig, inj_aux: InjectorAux,
+                     z_end, n_cols, key, dtype):
+    """Generate MAX_INJECT_COLS candidate columns starting at z_end.
+
+    Columns with index >= n_cols get zero weight.  Returns dict of
+    (MAX_INJECT_COLS * col_size,) arrays + the new z_end.
+    """
+    col_size = inj_aux.r.shape[0]
+    dz_p = inj_cfg.dz_particles
+
+    cols_idx = jnp.arange(MAX_INJECT_COLS)
+    active = (cols_idx < n_cols).astype(dtype)          # (MAX_COLS,)
+    z_cols = z_end + (cols_idx.astype(dtype) + 0.5) * dz_p
+
+    r = jnp.tile(inj_aux.r, MAX_INJECT_COLS)
+    cos_t = jnp.tile(inj_aux.cos_t, MAX_INJECT_COLS)
+    sin_t = jnp.tile(inj_aux.sin_t, MAX_INJECT_COLS)
+    w = jnp.tile(inj_aux.w_base, MAX_INJECT_COLS)
+    z = jnp.repeat(z_cols, col_size)
+    w = w * jnp.repeat(active, col_size)
+
+    x = r * cos_t
+    y = r * sin_t
+
+    if inj_cfg.dens_func is not None:
+        if inj_cfg.dens_args == "xyz":
+            w = w * inj_cfg.dens_func(x=x, y=y, z=z)
+        else:
+            w = w * inj_cfg.dens_func(z=z, r=r)
+        w = jnp.maximum(w, 0.0)
+
+    ntot = MAX_INJECT_COLS * col_size
+    kx, ky, kz = jax.random.split(key, 3)
+    ux = inj_cfg.ux_m + inj_cfg.ux_th * jax.random.normal(kx, (ntot,), dtype)
+    uy = inj_cfg.uy_m + inj_cfg.uy_th * jax.random.normal(ky, (ntot,), dtype)
+    uz = inj_cfg.uz_m + inj_cfg.uz_th * jax.random.normal(kz, (ntot,), dtype)
+    inv_gamma = 1.0 / jnp.sqrt(1 + ux**2 + uy**2 + uz**2)
+
+    new_z_end = z_end + n_cols.astype(dtype) * dz_p
+    return dict(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz,
+                inv_gamma=inv_gamma, w=w), new_z_end
+
+
+def write_ring(arr, start, new_vals, capacity, mask=None):
+    """Write new_vals into arr starting at slot `start` (mod capacity).
+
+    A small scatter (new_vals is at most MAX_INJECT_COLS columns).
+    Slots where mask is False keep their old content.
+    """
+    n = new_vals.shape[0]
+    idx = jnp.mod(start + jnp.arange(n), capacity)
+    if mask is not None:
+        old = arr[idx]
+        new_vals = jnp.where(mask, new_vals, old)
+    return arr.at[idx].set(new_vals)

@@ -41,6 +41,9 @@ class ParticleState:
     w: jax.Array               # macroparticle weight; 0 marks a dead slot
     ionization_level: Optional[jax.Array] = None  # uint8, ionizable species
     ids: Optional[jax.Array] = None               # uint64, tracked species
+    # Continuous-injection bookkeeping (None unless injecting):
+    next_free: Optional[jax.Array] = None   # int32 ring-buffer cursor
+    inj_z_end: Optional[jax.Array] = None   # scalar: end of loaded plasma
 
     @property
     def capacity(self):
