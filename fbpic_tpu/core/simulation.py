@@ -78,19 +78,22 @@ class SpeciesView:
 
     @property
     def Ntot(self):
+        # With a ring-buffer injector, live particles can be anywhere in
+        # the capacity array (dead slots carry w = 0)
+        if self._sim._injector_configs[self._index] is not None:
+            return self._state.capacity
         return self._sim._species_counts[self._index]
 
     def __getattr__(self, name):
         if name in self._arrays:
-            n = self._sim._species_counts[self._index]
-            return np.asarray(getattr(self._state, name))[:n]
+            return np.asarray(getattr(self._state, name))[:self.Ntot]
         raise AttributeError(name)
 
     def __setattr__(self, name, value):
         if name in self._arrays:
             sim = self._sim
             idx = self._index
-            n = sim._species_counts[idx]
+            n = self.Ntot
             sp = sim.state.species[idx]
             arr = getattr(sp, name)
             new = arr.at[:n].set(jnp.asarray(value, dtype=arr.dtype))
@@ -429,6 +432,28 @@ class Simulation:
             )
         return self._step_fns[key]
 
+    def deposit_single_species_rho(self, view):
+        """Deposit the charge density of one species (diagnostics only).
+
+        Returns numpy complex (Nm, Nz_phys, Nr).
+        """
+        from ..particles.deposit import deposit_rho_linear
+        from ..fields import psatd_push as psp
+        idx = view._index
+        sp = self.state.species[idx]
+        sc = self.species_configs[idx]
+        rho = deposit_rho_linear(
+            sp.x, sp.y, sp.z, sp.w, sc.q, self.config.Nm,
+            1.0 / self.config.dz, self.state.zmin, self.config.Nz,
+            1.0 / self.config.dr, 0.0, self.config.Nr,
+            self.aux.ruyten_linear,
+            zfold=("periodic" if self.config.boundaries_z == "periodic"
+                   else "clamp"))
+        rho = (rho * self.aux.invvol[:, None, :]).to_numpy()
+        if self.nd_edge > 0:
+            rho = rho[:, self.nd_edge:self.nd_edge + self.Nz_phys, :]
+        return rho
+
     def set_moving_window(self, v=None, gamma_boost=None):
         """Attach a moving window of speed v (default c) to the simulation.
 
@@ -492,16 +517,17 @@ class Simulation:
         # stops at diagnostic boundaries (minimizes host<->device syncs).
         done = 0
         it = self.iteration  # one host read; tracked host-side below
+        writers = list(self.diags) + list(self.checkpoints)
         while done < N:
             chunk = N - done
-            if self.diags:
-                period = min(getattr(d, "period", N) for d in self.diags)
+            if writers:
+                period = min(getattr(d, "period", N) for d in writers)
                 next_boundary = period - (it % period)
                 chunk = min(chunk, max(1, next_boundary))
             self.state = step_fn(self.state, self.aux, chunk, inj_auxes)
             done += chunk
             it += chunk
-            for diag in self.diags:
-                diag.write(self)
+            for writer in writers:
+                writer.write(self)
         # Block so that wall-clock timing by callers is meaningful
         jax.block_until_ready(self.state)

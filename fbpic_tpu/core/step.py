@@ -360,37 +360,29 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions):
         dt = config.dt
 
         # --- Open boundaries: remove out-of-grid particles; inject new
-        #     plasma columns for the moving window (ring-buffer write)
+        #     plasma columns for the moving window (ring-buffer write),
+        #     then re-deposit rho_prev so the current correction sees a
+        #     consistent charge history (reference: main.py:435-449
+        #     re-deposits rho_prev after every particle exchange)
         if config.boundaries_z == "open":
             species = [remove_outside_particles(config, sp, zmin)
                        for sp in species]
-        if options.moving_window_v is not None:
-            new_rho = None
-            for i, (sp, sc) in enumerate(zip(species, species_configs)):
-                inj_cfg = options.injectors[i] if options.injectors else None
-                if inj_cfg is None:
-                    continue
-                sp, new = continuous_injection(
-                    config, options, aux, sp, sc, inj_cfg, inj_auxes[i],
-                    zmin, state.iteration)
-                species[i] = sp
-                # Add the new particles' charge to rho_prev (the reference
-                # re-deposits rho_prev after injection; adding only the
-                # new columns is equivalent and much cheaper)
-                contrib = deposit_rho_linear(
-                    new["x"], new["y"], new["z"], new["w"], sc.q, config.Nm,
-                    1.0 / config.dz, zmin, config.Nz,
-                    1.0 / config.dr, 0.0, config.Nr,
-                    aux.ruyten_linear, zfold=_zfold(config))
-                new_rho = contrib if new_rho is None else new_rho + contrib
-            if new_rho is not None:
-                new_rho = new_rho * aux.invvol[:, None, :]
-                new_rho_s = tr.interp2spect_scal(aux.mats, new_rho)
-                if options.filter_currents:
-                    new_rho_s = ps.filter_scalar(new_rho_s, aux.filter_z,
-                                                 aux.filter_r)
-                spect = dataclasses.replace(
-                    spect, rho_prev=spect.rho_prev + new_rho_s)
+            if options.moving_window_v is not None:
+                for i, (sp, sc) in enumerate(zip(species, species_configs)):
+                    inj_cfg = (options.injectors[i]
+                               if options.injectors else None)
+                    if inj_cfg is None:
+                        continue
+                    sp, _new = continuous_injection(
+                        config, options, aux, sp, sc, inj_cfg, inj_auxes[i],
+                        zmin, state.iteration)
+                    species[i] = sp
+            rho_prev = deposit_rho_spect(config, aux, species,
+                                         species_configs, zmin)
+            if options.filter_currents:
+                rho_prev = ps.filter_scalar(rho_prev, aux.filter_z,
+                                            aux.filter_r)
+            spect = dataclasses.replace(spect, rho_prev=rho_prev)
 
         # --- Gather + momentum push + first half position push
         species = [

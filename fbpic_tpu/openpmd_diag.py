@@ -1,0 +1,10 @@
+"""Compatibility alias: `fbpic.openpmd_diag` -> `fbpic_tpu.openpmd_diag`."""
+from .diagnostics import *  # noqa: F401,F403
+from .diagnostics import (
+    OpenPMDDiagnostic, FieldDiagnostic, ParticleDiagnostic,
+    ParticleChargeDensityDiagnostic, set_periodic_checkpoint,
+    restart_from_checkpoint, InputScriptDiagnostic,
+)
+# Reference alias names
+BoostedFieldDiagnostic = None   # populated once back-transformed diags land
+BackTransformedFieldDiagnostic = None
