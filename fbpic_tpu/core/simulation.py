@@ -454,6 +454,28 @@ class Simulation:
             rho = rho[:, self.nd_edge:self.nd_edge + self.Nz_phys, :]
         return rho
 
+    def deposit_species_rho_J_full(self, view):
+        """Deposit rho and J of one species on the FULL internal grid.
+
+        Returns numpy complex arrays (Nm, Nz_internal, Nr) -- used by
+        host-side global solves (space charge).
+        """
+        from ..particles.deposit import deposit_rho_J_linear
+        idx = view._index
+        sp = self.state.species[idx]
+        sc = self.species_configs[idx]
+        rho, Jr, Jt, Jz = deposit_rho_J_linear(
+            sp.x, sp.y, sp.z, sp.w, sc.q,
+            sp.ux, sp.uy, sp.uz, sp.inv_gamma, self.config.Nm,
+            1.0 / self.config.dz, self.state.zmin, self.config.Nz,
+            1.0 / self.config.dr, 0.0, self.config.Nr,
+            self.aux.ruyten_linear,
+            zfold=("periodic" if self.config.boundaries_z == "periodic"
+                   else "clamp"))
+        invvol = np.asarray(self.aux.invvol)[:, None, :]
+        return tuple((a * self.aux.invvol[:, None, :]).to_numpy()
+                     for a in (rho, Jr, Jt, Jz))
+
     def set_moving_window(self, v=None, gamma_boost=None):
         """Attach a moving window of speed v (default c) to the simulation.
 

@@ -220,7 +220,7 @@ def _wrap_z_periodic(config: GridConfig, z, zmin):
 
 
 def gather_and_push(config: GridConfig, options: StepOptions, sp, sc,
-                    interp, zmin, dt):
+                    interp, zmin, dt, time=None):
     """Gather E,B at particles, Vay-push momenta, half-step positions."""
     EB = gather_fields_linear(
         sp.x, sp.y, sp.z, interp, options.rmax_gather,
@@ -229,7 +229,12 @@ def gather_and_push(config: GridConfig, options: StepOptions, sp, sc,
     )
     E, B = EB[:3], EB[3:]
     if options.move_momenta and sc.q != 0:
-        ux, uy, uz, inv_gamma = pp.push_p(sp, E, B, sc.q, sc.m, dt)
+        z_plane = None
+        if sc.ballistic_z0 is not None:
+            # Position of the injection plane at t + dt/2
+            z_plane = sc.ballistic_z0 + sc.ballistic_v * (time + 0.5 * dt)
+        ux, uy, uz, inv_gamma = pp.push_p(sp, E, B, sc.q, sc.m, dt,
+                                          z_plane=z_plane)
         sp = dataclasses.replace(sp, ux=ux, uy=uy, uz=uz, inv_gamma=inv_gamma)
     return sp
 
@@ -386,7 +391,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions):
 
         # --- Gather + momentum push + first half position push
         species = [
-            gather_and_push(config, options, sp, sc, interp, zmin, dt)
+            gather_and_push(config, options, sp, sc, interp, zmin, dt,
+                            time=state.time)
             for sp, sc in zip(species, species_configs)
         ]
         species = [half_push_x(config, options, sp, zmin) for sp in species]

@@ -26,6 +26,10 @@ class SpeciesConfig:
     is_tracer: bool = False
     ionizable: bool = False
     name: str = "species"
+    # Ballistic-before-plane injection (None = normal push); the plane
+    # is at z = ballistic_z0 + ballistic_v * t
+    ballistic_z0: object = None
+    ballistic_v: float = 0.0
 
 
 @pytree_dataclass
