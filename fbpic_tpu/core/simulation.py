@@ -523,6 +523,8 @@ class Simulation:
             rmax_gather=self.get_rmax_gather(),
             moving_window_v=mw_v,
             injectors=injectors,
+            external_fields=tuple(self.external_fields),
+            mirrors=tuple(self.mirrors),
         )
         step_fn, prepare_fn = self._get_step_fn(options)
         self._inj_auxes_cache = inj_auxes

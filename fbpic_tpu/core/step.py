@@ -24,8 +24,10 @@ from ..fields import psatd_push as ps
 from ..particles.state import ParticleState, SpeciesConfig
 from ..utils.complex_arr import CArr
 from ..particles import push as pp
-from ..particles.gather import gather_fields_linear
-from ..particles.deposit import deposit_rho_linear, deposit_J_linear
+from ..particles.gather import gather_fields_linear, gather_fields_cubic
+from ..particles.deposit import (
+    deposit_rho_linear, deposit_J_linear, deposit_rho_cubic, deposit_J_cubic,
+)
 from .state import SimState
 
 
@@ -44,6 +46,10 @@ class StepOptions:
     moving_window_v: object = None
     # Per-species (InjectorConfig | None) for continuous injection
     injectors: tuple = ()
+    # ExternalField objects (applied to gathered per-particle fields)
+    external_fields: tuple = ()
+    # Mirror objects (zero E/B in thin z-slabs each step)
+    mirrors: tuple = ()
 
 
 # ---------------------------------------------------------------------
@@ -63,12 +69,18 @@ def deposit_rho_spect(config, aux, species, species_configs, zmin):
         w_eff = sp.w
         if sp.ionization_level is not None:
             w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
-        contrib = deposit_rho_linear(
-            sp.x, sp.y, sp.z, w_eff, sc.q, config.Nm,
-            1.0 / config.dz, zmin, config.Nz,
-            1.0 / config.dr, 0.0, config.Nr,
-            aux.ruyten_linear, zfold=_zfold(config),
-        )
+        if sc.particle_shape == "cubic":
+            contrib = deposit_rho_cubic(
+                sp.x, sp.y, sp.z, w_eff, sc.q, config.Nm,
+                1.0 / config.dz, zmin, config.Nz,
+                1.0 / config.dr, 0.0, config.Nr,
+                aux.ruyten_cubic, zfold=_zfold(config))
+        else:
+            contrib = deposit_rho_linear(
+                sp.x, sp.y, sp.z, w_eff, sc.q, config.Nm,
+                1.0 / config.dz, zmin, config.Nz,
+                1.0 / config.dr, 0.0, config.Nr,
+                aux.ruyten_linear, zfold=_zfold(config))
         rho = contrib if rho is None else rho + contrib
     if rho is None:
         rho = CArr.zeros((config.Nm, config.Nz, config.Nr),
@@ -87,13 +99,20 @@ def deposit_J_spect(config, aux, species, species_configs, zmin):
         w_eff = sp.w
         if sp.ionization_level is not None:
             w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
-        contrib = deposit_J_linear(
-            sp.x, sp.y, sp.z, w_eff, sc.q,
-            sp.ux, sp.uy, sp.uz, sp.inv_gamma, config.Nm,
-            1.0 / config.dz, zmin, config.Nz,
-            1.0 / config.dr, 0.0, config.Nr,
-            aux.ruyten_linear, zfold=_zfold(config),
-        )
+        if sc.particle_shape == "cubic":
+            contrib = deposit_J_cubic(
+                sp.x, sp.y, sp.z, w_eff, sc.q,
+                sp.ux, sp.uy, sp.uz, sp.inv_gamma, config.Nm,
+                1.0 / config.dz, zmin, config.Nz,
+                1.0 / config.dr, 0.0, config.Nr,
+                aux.ruyten_cubic, zfold=_zfold(config))
+        else:
+            contrib = deposit_J_linear(
+                sp.x, sp.y, sp.z, w_eff, sc.q,
+                sp.ux, sp.uy, sp.uz, sp.inv_gamma, config.Nm,
+                1.0 / config.dz, zmin, config.Nz,
+                1.0 / config.dr, 0.0, config.Nr,
+                aux.ruyten_linear, zfold=_zfold(config))
         if JrJtJz is None:
             JrJtJz = list(contrib)
         else:
@@ -220,14 +239,26 @@ def _wrap_z_periodic(config: GridConfig, z, zmin):
 
 
 def gather_and_push(config: GridConfig, options: StepOptions, sp, sc,
-                    interp, zmin, dt, time=None):
-    """Gather E,B at particles, Vay-push momenta, half-step positions."""
-    EB = gather_fields_linear(
+                    interp, zmin, dt, time=None, species_index=None):
+    """Gather E,B at particles, Vay-push momenta, half-step positions;
+    applies user external fields after the gather
+    (reference: main.py:471-473)."""
+    gather_fn = (gather_fields_cubic if sc.particle_shape == "cubic"
+                 else gather_fields_linear)
+    EB = gather_fn(
         sp.x, sp.y, sp.z, interp, options.rmax_gather,
         1.0 / config.dz, zmin, config.Nz,
         1.0 / config.dr, 0.0, config.Nr,
     )
     E, B = EB[:3], EB[3:]
+    if options.external_fields:
+        fields = dict(Ex=E[0], Ey=E[1], Ez=E[2],
+                      Bx=B[0], By=B[1], Bz=B[2])
+        for ext in options.external_fields:
+            if species_index is None or ext.applies_to(species_index):
+                fields = ext.apply(fields, sp.x, sp.y, sp.z, time)
+        E = (fields["Ex"], fields["Ey"], fields["Ez"])
+        B = (fields["Bx"], fields["By"], fields["Bz"])
     if options.move_momenta and sc.q != 0:
         z_plane = None
         if sc.ballistic_z0 is not None:
@@ -267,23 +298,45 @@ def shift_spectral_fields(config, aux, spect: SpectralFields, n_move):
     return dataclasses.replace(spect, **updates)
 
 
-def damp_EB_z(config, aux, spect: SpectralFields) -> SpectralFields:
-    """Damp E and B near the open z boundaries.
-
-    Done in partial-interpolation space (inverse z-DFT only): the
-    damping profile is diagonal in z and commutes with the radial
-    transform (reference: main.py:719-768, exchange_and_damp_EB).
-    """
+def damp_EB_z(config, aux, spect: SpectralFields, profile,
+              halo=None) -> SpectralFields:
+    """E/B boundary handling in partial-interpolation space: replace
+    guard cells from neighbors (multi-device), then apply the z profile
+    (damping, mirrors).  One inverse/forward z-DFT round trip
+    (reference: main.py:719-768, exchange_and_damp_EB)."""
     fields = [spect.Ep, spect.Em, spect.Ez, spect.Bp, spect.Bm, spect.Bz]
     names = ["Ep", "Em", "Ez", "Bp", "Bm", "Bz"]
     if config.use_pml:
         fields += [spect.Ep_pml, spect.Em_pml, spect.Bp_pml, spect.Bm_pml]
         names += ["Ep_pml", "Em_pml", "Bp_pml", "Bm_pml"]
     partial = tr.ifft_z_many(aux.mats, fields)
-    damp = aux.damp_z[None, :, None]
-    partial = [f * damp for f in partial]
+    if halo is not None:
+        partial = halo.exchange_replace(partial)
+    if profile is not None:
+        damp = profile[None, :, None]
+        partial = [f * damp for f in partial]
     back = tr.fft_z_many(aux.mats, partial)
     return dataclasses.replace(spect, **dict(zip(names, back)))
+
+
+def _z_profile(config, options, aux, zmin, time):
+    """Combined multiplicative z profile: open-boundary damping x
+    mirror slabs set to zero (reference: mirrors.py:51, damping above)."""
+    profile = None
+    if config.boundaries_z == "open" and config.nz_damp > 0:
+        profile = aux.damp_z
+    if options.mirrors:
+        z_cells = zmin + (jnp.arange(config.Nz, dtype=zmin.dtype) + 0.5) \
+            * config.dz
+        mask = jnp.ones_like(z_cells)
+        for mirror in options.mirrors:
+            z0, v = mirror.z_boost_and_beta()
+            zm = z0 + v * time
+            inside = (z_cells >= zm) & (z_cells < zm
+                                        + mirror.n_cells * config.dz)
+            mask = jnp.where(inside, 0.0, mask)
+        profile = mask if profile is None else profile * mask
+    return profile
 
 
 def remove_outside_particles(config, sp, zmin):
@@ -353,8 +406,14 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
 # The step
 # ---------------------------------------------------------------------
 
-def make_step_fn(config: GridConfig, species_configs, options: StepOptions):
-    """Build the pure (unjitted) single-step function step(state, aux)."""
+def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
+                 halo=None):
+    """Build the pure (unjitted) single-step function step(state, aux).
+
+    `halo` is an optional multi-device exchange object with methods
+    exchange_add(fields) / exchange_replace(fields) operating on lists
+    of partial-interp CArr -- used by the z-domain decomposition.
+    """
     species_configs = tuple(species_configs)
 
     def step(state: SimState, aux: FieldAux, inj_auxes=()) -> SimState:
@@ -392,8 +451,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions):
         # --- Gather + momentum push + first half position push
         species = [
             gather_and_push(config, options, sp, sc, interp, zmin, dt,
-                            time=state.time)
-            for sp, sc in zip(species, species_configs)
+                            time=state.time, species_index=i)
+            for i, (sp, sc) in enumerate(zip(species, species_configs))
         ]
         species = [half_push_x(config, options, sp, zmin) for sp in species]
 
@@ -424,6 +483,13 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions):
         # --- Current correction
         if options.correct_currents:
             spect = correct_currents(config, aux, spect)
+        # Multi-device: ADD the corrected J guard strips into neighbors
+        # (reference: main.py:529-539 exchanges J right after correction)
+        if halo is not None:
+            Js = tr.ifft_z_many(aux.mats, [spect.Jp, spect.Jm, spect.Jz])
+            Js = halo.exchange_add(Js)
+            Jp, Jm, Jz = tr.fft_z_many(aux.mats, Js)
+            spect = dataclasses.replace(spect, Jp=Jp, Jm=Jm, Jz=Jz)
 
         # --- PSATD field push (+ rho_prev <- rho_next)
         spect = push_fields(config, aux, spect, options.use_true_rho)
@@ -441,9 +507,11 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions):
             spect = shift_spectral_fields(config, aux, spect, n_move)
             zmin = zmin + n_move.astype(zmin.dtype) * config.dz
 
-        # --- Open-z boundaries: damp E/B near the edges
-        if config.boundaries_z == "open" and config.nz_damp > 0:
-            spect = damp_EB_z(config, aux, spect)
+        # --- Open-z boundaries / mirrors / multi-device guard replace:
+        #     one partial-space round trip covers all of them
+        profile = _z_profile(config, options, aux, zmin, state.time)
+        if profile is not None or halo is not None:
+            spect = damp_EB_z(config, aux, spect, profile, halo=halo)
 
         # --- Fields back to the interpolation grid for the next gather
         interp = spect2interp_EB(aux, spect, interp, use_pml=config.use_pml)

@@ -248,7 +248,8 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
         ruyten_cubic=dev_r(np.stack([ruyt_cub0, ruyt_cub1])),
         field_shift=CArr.from_numpy(np.exp(1.0j * kz_true * config.dz), rdt),
         damp_z=(dev_r(_damp_profile_z(config))
-                if config.boundaries_z == "open" else None),
+                if config.boundaries_z == "open" and config.nz_damp > 0
+                else None),
     )
 
 

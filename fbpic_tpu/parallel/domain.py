@@ -1,0 +1,308 @@
+"""Multi-chip z-domain decomposition (shard_map over a 1-D mesh).
+
+The PIC analog of sequence parallelism: the z axis is sliced into slabs,
+one per device.  Each device runs the full local spectral solve on its
+slab extended by n_guard cells at each end; the finite-order stencil
+keeps the spectral operator local so the wrap-around error stays inside
+the guards (SURVEY.md section 5 / reference parallelisation.rst:78-130).
+
+Per step, over ICI (lax.ppermute):
+  - E/B guard cells REPLACED from the neighbor interior (in
+    partial-interpolation space, fused with the damping pass)
+  - corrected J guard strips ADDED into the neighbor interior
+  - particles crossing the slab boundary migrate via fixed-capacity
+    buffers with validity masks
+
+Layout (reference boundary_communicator.py:556-620):
+    local grid = [ng | nc | interior | nc | ng], ng = nc = n_guard
+    consecutive local grids overlap by 2*n_guard cells.
+"""
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..fields.solver import GridConfig
+from ..fields import transform as tr
+from ..core.state import SimState
+from ..core import step as step_mod
+from ..core.step import StepOptions
+
+
+MIGRATION_FIELDS = ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w")
+
+
+def local_grid_config(config_global: GridConfig, n_devices: int,
+                      n_guard: int) -> GridConfig:
+    """GridConfig of one device's slab (interior + 2*n_guard cells).
+
+    config_global.Nz must be divisible by n_devices.
+    """
+    if config_global.Nz % n_devices != 0:
+        raise ValueError("Nz must be divisible by the number of devices")
+    Nz_int = config_global.Nz // n_devices
+    # The local slab never wraps particles periodically and never folds
+    # deposits around its own edges: it behaves like an 'open' local box
+    # whose boundary handling is replaced by the halo exchange.
+    return dataclasses.replace(
+        config_global, Nz=Nz_int + 2 * n_guard, n_guard=n_guard,
+        boundaries_z="open", nz_damp=0, n_inject=0,
+    )
+
+
+def exchange_guards_replace(fields, g, axis_name):
+    """Replace z-guard cells from the neighbors' interiors.
+
+    fields: list of CArr (Nm, Nzl, Nr).  The strip my neighbor needs is
+    my 'nc' region; my guards are overwritten by what I receive.
+    """
+    n = jax.lax.psum(1, axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [((i + 1) % n, i) for i in range(n)]
+
+    def one(F):
+        Nzl = F.shape[1]
+        # my right 'nc' -> right neighbor's left guard
+        to_right_re = F.re[:, Nzl - 2 * g:Nzl - g]
+        to_right_im = F.im[:, Nzl - 2 * g:Nzl - g]
+        # my left 'nc' -> left neighbor's right guard
+        to_left_re = F.re[:, g:2 * g]
+        to_left_im = F.im[:, g:2 * g]
+        from_left_re = jax.lax.ppermute(to_right_re, axis_name, fwd)
+        from_left_im = jax.lax.ppermute(to_right_im, axis_name, fwd)
+        from_right_re = jax.lax.ppermute(to_left_re, axis_name, bwd)
+        from_right_im = jax.lax.ppermute(to_left_im, axis_name, bwd)
+        re = F.re.at[:, :g].set(from_left_re)
+        re = re.at[:, Nzl - g:].set(from_right_re)
+        im = F.im.at[:, :g].set(from_left_im)
+        im = im.at[:, Nzl - g:].set(from_right_im)
+        return type(F)(re, im)
+
+    return [one(F) for F in fields]
+
+
+def exchange_guards_add(fields, g, axis_name):
+    """Add 2g-wide edge strips into the neighbors' matching region."""
+    n = jax.lax.psum(1, axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [((i + 1) % n, i) for i in range(n)]
+
+    def one(F):
+        Nzl = F.shape[1]
+        send_right_re = F.re[:, Nzl - 2 * g:]
+        send_right_im = F.im[:, Nzl - 2 * g:]
+        send_left_re = F.re[:, :2 * g]
+        send_left_im = F.im[:, :2 * g]
+        from_left_re = jax.lax.ppermute(send_right_re, axis_name, fwd)
+        from_left_im = jax.lax.ppermute(send_right_im, axis_name, fwd)
+        from_right_re = jax.lax.ppermute(send_left_re, axis_name, bwd)
+        from_right_im = jax.lax.ppermute(send_left_im, axis_name, bwd)
+        re = F.re.at[:, :2 * g].add(from_left_re)
+        re = re.at[:, Nzl - 2 * g:].add(from_right_re)
+        im = F.im.at[:, :2 * g].add(from_left_im)
+        im = im.at[:, Nzl - 2 * g:].add(from_right_im)
+        return type(F)(re, im)
+
+    return [one(F) for F in fields]
+
+
+def migrate_particles(sp, config_local, zmin, axis_name, buffer_size):
+    """Move particles that crossed the slab ownership boundary.
+
+    Ownership: [zmin + g dz, zmin + (Nzl - g) dz).  Outgoing particles
+    are compacted into fixed-size buffers (validity by weight) and sent
+    around the ring with ppermute; incoming particles are appended at
+    the ring cursor (or over dead slots).
+    """
+    g = config_local.n_guard
+    dz = config_local.dz
+    Nzl = config_local.Nz
+    z_lo = zmin + g * dz
+    z_hi = zmin + (Nzl - g) * dz
+
+    alive = sp.w != 0
+    go_left = alive & (sp.z < z_lo)
+    go_right = alive & (sp.z >= z_hi)
+
+    n = jax.lax.psum(1, axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [((i + 1) % n, i) for i in range(n)]
+
+    def compact(mask):
+        idx = jnp.cumsum(mask) - 1                    # target slot
+        take = mask & (idx < buffer_size)
+        bufs = {}
+        for name in MIGRATION_FIELDS:
+            arr = getattr(sp, name)
+            buf = jnp.zeros(buffer_size, arr.dtype)
+            buf = buf.at[jnp.where(take, idx, buffer_size)].set(
+                jnp.where(take, arr, 0.0), mode="drop")
+            bufs[name] = buf
+        return bufs
+
+    left_buf = compact(go_left)
+    right_buf = compact(go_right)
+
+    # Local arrays: mark outgoing as dead
+    out_mask = go_left | go_right
+    sp = dataclasses.replace(sp, w=jnp.where(out_mask, 0.0, sp.w))
+
+    # Ship: my right-going buffer -> right neighbor; left-going -> left
+    from_left = {k: jax.lax.ppermute(v, axis_name, fwd)
+                 for k, v in right_buf.items()}
+    from_right = {k: jax.lax.ppermute(v, axis_name, bwd)
+                  for k, v in left_buf.items()}
+
+    # The global-boundary wrap: for periodic global z, ppermute's ring
+    # already wraps; positions must be shifted by the global box length
+    # for particles that wrapped around.
+    Lz_global = (Nzl - 2 * g) * dz * n
+    me = jax.lax.axis_index(axis_name)
+    wrapped_from_left = (me == 0)
+    wrapped_from_right = (me == n - 1)
+    from_left["z"] = jnp.where(
+        wrapped_from_left & (from_left["w"] != 0),
+        from_left["z"] - Lz_global, from_left["z"])
+    from_right["z"] = jnp.where(
+        wrapped_from_right & (from_right["w"] != 0),
+        from_right["z"] + Lz_global, from_right["z"])
+
+    # Append the received particles over dead slots: find 2*buffer_size
+    # dead slots via a cheap argsort on (w != 0)
+    incoming = {k: jnp.concatenate([from_left[k], from_right[k]])
+                for k in MIGRATION_FIELDS}
+    n_in = 2 * buffer_size
+    dead_order = jnp.argsort(sp.w != 0)    # dead slots first
+    slots = dead_order[:n_in]
+    valid = incoming["w"] != 0
+    updates = {}
+    for name in MIGRATION_FIELDS:
+        arr = getattr(sp, name)
+        old = arr[slots]
+        new = jnp.where(valid, incoming[name], old)
+        updates[name] = arr.at[slots].set(new)
+    return dataclasses.replace(sp, **updates)
+
+
+def make_multichip_step(config_local: GridConfig, species_configs,
+                        options: StepOptions, mesh: Mesh,
+                        axis_name="z", migration_buffer=4096):
+    """Build the shard_map'd multi-device N-step function.
+
+    state arrays are globally shaped: fields (Nm, ndev*Nzl, Nr) sharded
+    along z; particle arrays (ndev*cap,) sharded.  aux is replicated.
+    """
+    g = config_local.n_guard
+
+    class Halo:
+        """ppermute-based guard exchange, passed as make_step_fn hook."""
+
+        def exchange_add(self, fields):
+            return exchange_guards_add(fields, g, axis_name)
+
+        def exchange_replace(self, fields):
+            return exchange_guards_replace(fields, g, axis_name)
+
+    base_step = step_mod.make_step_fn(config_local, species_configs,
+                                      options, halo=Halo())
+
+    def local_step(state: SimState, aux):
+        # This device's slab position: state.zmin is the GLOBAL left edge
+        idx = jax.lax.axis_index(axis_name)
+        Nz_int = config_local.Nz - 2 * g
+        zmin_global = state.zmin
+        zmin_local = zmin_global + (idx * Nz_int - g) * config_local.dz
+
+        # 1. Particle migration across slab boundaries
+        species = tuple(
+            migrate_particles(sp, config_local, zmin_local, axis_name,
+                              migration_buffer)
+            for sp in state.species)
+        state = dataclasses.replace(state, species=species,
+                                    zmin=zmin_local)
+
+        # 2. Local PIC cycle (halo exchanges happen inside, at the
+        #    reference's points in the cycle)
+        state = base_step(state, aux)
+        return dataclasses.replace(state, zmin=zmin_global)
+
+    def state_specs(state):
+        """PartitionSpec pytree: z axis of fields, particle axis sharded."""
+        def spec_leaf(path, leaf):
+            names = [getattr(p, "name", "") for p in path]
+            if "species" in names:
+                return P(axis_name) if leaf.ndim == 1 else P()
+            if ("spect" in names or "interp" in names) and leaf.ndim == 3:
+                return P(None, axis_name, None)
+            return P()
+        flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+        return jax.tree_util.tree_unflatten(
+            treedef, [spec_leaf(p, l) for p, l in flat])
+
+    def multi_step(state, aux, n_steps):
+        specs = state_specs(state)
+        aux_specs = jax.tree_util.tree_map(lambda _: P(), aux)
+
+        def body(state_local, aux_local):
+            def one(i, s):
+                return local_step(s, aux_local)
+            return jax.lax.fori_loop(0, n_steps, one, state_local)
+
+        sharded = shard_map(
+            body, mesh=mesh, in_specs=(specs, aux_specs),
+            out_specs=specs, check_rep=False)
+        return sharded(state, aux)
+
+    return multi_step
+
+
+def build_multichip_state(config_global: GridConfig, config_local,
+                          n_devices, particles_by_species, zmin_global=0.0,
+                          cap_local=None):
+    """Assemble the sharded-format SimState for a z-decomposed run.
+
+    particles_by_species: list of dicts with numpy arrays
+    x,y,z,ux,uy,uz,inv_gamma,w (global).  Particles are binned into
+    slabs by z and packed into per-device fixed-capacity blocks.
+    """
+    from ..fields.solver import SpectralFields, InterpFields
+    from ..particles.state import ParticleState
+    from ..utils.dtypes import real_dtype
+
+    rdt = real_dtype()
+    Nzl = config_local.Nz
+    Nz_int = Nzl - 2 * config_local.n_guard
+    Lz_int = Nz_int * config_local.dz
+
+    cfg_concat = dataclasses.replace(config_local, Nz=n_devices * Nzl)
+    spect = SpectralFields.zeros(cfg_concat)
+    interp = InterpFields.zeros(cfg_concat)
+
+    species = []
+    for arrays in particles_by_species:
+        z = arrays["z"]
+        dev = np.clip(((z - zmin_global) // Lz_int).astype(int),
+                      0, n_devices - 1)
+        max_count = max(int((dev == i).sum()) for i in range(n_devices))
+        cap = cap_local or int(-(-(int(1.3 * max_count) + 1) // 256) * 256)
+        blocks = {k: np.zeros(n_devices * cap) for k in MIGRATION_FIELDS}
+        blocks["inv_gamma"][:] = 1.0
+        for i in range(n_devices):
+            sel = dev == i
+            cnt = int(sel.sum())
+            for k in MIGRATION_FIELDS:
+                blocks[k][i * cap:i * cap + cnt] = arrays[k][sel]
+        species.append(ParticleState(
+            **{k: jnp.asarray(v, rdt) for k, v in blocks.items()}))
+
+    return SimState(
+        spect=spect, interp=interp, species=tuple(species),
+        time=jnp.asarray(0.0, rdt),
+        zmin=jnp.asarray(float(zmin_global), rdt),
+        iteration=jnp.asarray(0, jnp.int32),
+        mw_zref=jnp.asarray(float(zmin_global), rdt),
+    )

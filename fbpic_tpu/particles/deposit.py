@@ -245,6 +245,135 @@ def deposit_J_linear(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
     return Jr, Jt, Jz
 
 
+# ---------------------------------------------------------------------
+# Cubic (third-order) shapes
+# ---------------------------------------------------------------------
+
+def _cubic_axis_weights(cell_pos):
+    """Cubic B-spline weights s0..s3 with i_low = ceil(pos) - 2.
+
+    u = pos - i_low - 1 in [0, 1); reference:
+    deposition/particle_shapes.py:42-56.
+    """
+    i_low = jnp.ceil(cell_pos).astype(jnp.int32) - 2
+    u = cell_pos - i_low.astype(cell_pos.dtype) - 1.0
+    v = 1.0 - u
+    s0 = (1.0 / 6.0) * v**3
+    s1 = (1.0 / 6.0) * (3.0 * u**3 - 6.0 * u**2 + 4.0)
+    s2 = (1.0 / 6.0) * (3.0 * v**3 - 6.0 * v**2 + 4.0)
+    s3 = (1.0 / 6.0) * u**3
+    return i_low, u, (s0, s1, s2, s3)
+
+
+def _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten_cubic):
+    """Cubic-shape geometry: 4x4 footprint weights and base index."""
+    r, cos, sin = _cylindrical_projection(x, y)
+    rdt = x.dtype
+
+    r_cell = invdr * (r - rmin) - 0.5
+    z_cell = invdz * (z - zmin) - 0.5
+
+    iz_low, _, sz = _cubic_axis_weights(z_cell)
+    ir_low, u, sr_plain = _cubic_axis_weights(r_cell)
+
+    # Ruyten correction on the two central points (+bn on s1, -bn on s2)
+    bn_idx = jnp.clip(jnp.ceil(r_cell).astype(jnp.int32), 0, Nr)
+    corr = (1.0 - u) * u
+    bn0 = ruyten_cubic[0][bn_idx] * corr
+    bnh = ruyten_cubic[1][bn_idx] * corr
+    # sr rows per mode-row (mode0 / higher): list of 4 per row
+    sr_m0 = (sr_plain[0], sr_plain[1] + bn0, sr_plain[2] - bn0, sr_plain[3])
+    sr_mh = (sr_plain[0], sr_plain[1] + bnh, sr_plain[2] - bnh, sr_plain[3])
+
+    Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
+    iz_buf = iz_low + NGUARD
+    ir_buf = jnp.minimum(ir_low + NGUARD, Nr)   # footprint cols <= Nr+3
+    idx00 = iz_buf * Nrb + ir_buf
+
+    return dict(
+        cos=cos, sin=sin, ir_low=ir_low,
+        sz=sz, sr_m0=sr_m0, sr_mh=sr_mh,
+        idx00=idx00, Nzb=Nzb, Nrb=Nrb,
+    )
+
+
+def _deposit_channels_cubic(geom, channel_vals, meta, Nm, Nzb, Nrb,
+                            Nz, Nr, zfold):
+    """Cubic 4x4 scatter: 16 corner blocks as channels at one base index."""
+    sz = geom["sz"]
+    ir_low = geom["ir_low"]
+    idx00 = geom["idx00"]
+    mode0_mask = meta["is_mode0"]
+    flips = meta["flip"]
+
+    blocks = []
+    for jr in range(4):
+        sr = jnp.where(mode0_mask[None, :], geom["sr_m0"][jr][:, None],
+                       geom["sr_mh"][jr][:, None])    # (Np, C)
+        # Below-axis sign flip when the absolute radial index is negative
+        below = (ir_low + jr) < 0
+        sr = jnp.where(below[:, None], flips[None, :] * sr, sr)
+        for jz in range(4):
+            blocks.append(channel_vals * (sz[jz][:, None] * sr))
+    vals = jnp.concatenate(blocks, axis=1)            # (Np, 16*C)
+
+    C = channel_vals.shape[1]
+    buf = jnp.zeros((Nzb * Nrb, 16 * C),
+                    dtype=channel_vals.dtype).at[idx00].add(vals)
+    buf = buf.reshape(Nzb, Nrb, 4, 4, C)              # (z, r, jr, jz, C)
+
+    out = jnp.zeros((Nzb, Nrb, C), dtype=channel_vals.dtype)
+    for jr in range(4):
+        for jz in range(4):
+            blk = buf[:, :, jr, jz, :]
+            zs = slice(jz, None) if jz else slice(None)
+            zsrc = slice(None, Nzb - jz) if jz else slice(None)
+            rs = slice(jr, None) if jr else slice(None)
+            rsrc = slice(None, Nrb - jr) if jr else slice(None)
+            out = out.at[zs, rs, :].add(blk[zsrc, rsrc, :])
+    return _fold_guard_cells(out, Nz, Nr, zfold)
+
+
+def deposit_rho_cubic(x, y, z, w, q, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
+                      ruyten_cubic, zfold="periodic"):
+    """Deposit charge density with cubic shapes; returns CArr (Nm,Nz,Nr)."""
+    geom = _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
+                           ruyten_cubic)
+    cos_m, sin_m = _mode_phases(geom["cos"], geom["sin"], Nm)
+    wj = q * w
+    vals = [CArr(jnp.stack([wj * cm for cm in cos_m]),
+                 jnp.stack([wj * sm for sm in sin_m]))]
+    channels = _pack_channels(vals, Nm)
+    meta = _channel_meta(Nm, 1, [+1.0], x.dtype)
+    out = _deposit_channels_cubic(geom, channels, meta, Nm, geom["Nzb"],
+                                  geom["Nrb"], Nz, Nr, zfold)
+    return _unpack_channels(out, 1, Nm)[0]
+
+
+def deposit_J_cubic(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
+                    invdz, zmin, Nz, invdr, rmin, Nr, ruyten_cubic,
+                    zfold="periodic"):
+    """Deposit current density with cubic shapes."""
+    geom = _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
+                           ruyten_cubic)
+    cos, sin = geom["cos"], geom["sin"]
+    cos_m, sin_m = _mode_phases(cos, sin, Nm)
+    wj = q * w
+    base = [
+        wj * c * inv_gamma * (cos * ux + sin * uy),
+        wj * c * inv_gamma * (cos * uy - sin * ux),
+        wj * c * inv_gamma * uz,
+    ]
+    vals = [CArr(jnp.stack([b * cm for cm in cos_m]),
+                 jnp.stack([b * sm for sm in sin_m])) for b in base]
+    channels = _pack_channels(vals, Nm)
+    meta = _channel_meta(Nm, 3, [-1.0, -1.0, +1.0], x.dtype)
+    out = _deposit_channels_cubic(geom, channels, meta, Nm, geom["Nzb"],
+                                  geom["Nrb"], Nz, Nr, zfold)
+    Jr, Jt, Jz = _unpack_channels(out, 3, Nm)
+    return Jr, Jt, Jz
+
+
 def deposit_rho_J_linear(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
                          invdz, zmin, Nz, invdr, rmin, Nr, ruyten_linear,
                          zfold="periodic"):

@@ -134,3 +134,90 @@ def gather_fields_linear(
     Bx = cos * Fr_B - sin * Ft_B
     By = sin * Fr_B + cos * Ft_B
     return Ex, Ey, Fz_E, Bx, By, Fz_B
+
+
+def gather_fields_cubic(
+    x, y, z, interp, rmax_gather, invdz, zmin, Nz, invdr, rmin, Nr,
+):
+    """Gather E and B with cubic (third-order) shapes.
+
+    4x4 stencil with below-axis index folding and sign flips
+    (reference: gathering/threading_methods.py:208+ and
+    gathering/inline_functions.py:93-187).
+    """
+    Nm = interp.Er.shape[0]
+    rdt = x.dtype
+
+    r, cos, sin = _cylindrical_projection(x, y)
+
+    r_cell = invdr * (r - rmin) - 0.5
+    z_cell = invdz * (z - zmin) - 0.5
+
+    ir_lowest = jnp.floor(r_cell).astype(jnp.int32) - 1
+    r_local = r_cell - ir_lowest.astype(rdt)
+    Sr = [
+        -1. / 6. * (r_local - 2.) ** 3,
+        1. / 6. * (3. * (r_local - 1.) ** 3 - 6. * (r_local - 1.) ** 2 + 4.),
+        1. / 6. * (3. * (2. - r_local) ** 3 - 6. * (2. - r_local) ** 2 + 4.),
+        -1. / 6. * (1. - r_local) ** 3,
+    ]
+    iz_lowest = jnp.floor(z_cell).astype(jnp.int32) - 1
+    z_local = z_cell - iz_lowest.astype(rdt)
+    Sz = [
+        -1. / 6. * (z_local - 2.) ** 3,
+        1. / 6. * (3. * (z_local - 1.) ** 3 - 6. * (z_local - 1.) ** 2 + 4.),
+        1. / 6. * (3. * (2. - z_local) ** 3 - 6. * (2. - z_local) ** 2 + 4.),
+        -1. / 6. * (1. - z_local) ** 3,
+    ]
+
+    F = _stack_interp_channels(interp, Nm)          # (Nz, Nr, C)
+    C = F.shape[-1]
+    Fflat = F.reshape(Nz * Nr, C)
+
+    # Per-channel flip applied when the radial index is < 0:
+    # z channels get (-1)^m, transverse channels get -(-1)^m
+    flip_chan = []
+    for comp in range(6):
+        is_z = comp in (2, 5)
+        for m in range(Nm):
+            msign = 1.0 if m % 2 == 0 else -1.0
+            val = msign if is_z else -msign
+            flip_chan += [val, val]
+    flip_chan = jnp.asarray(flip_chan, dtype=rdt)
+
+    Fm = jnp.zeros((x.shape[0], C), dtype=rdt)
+    for jr in range(4):
+        ir = ir_lowest + jr
+        below = ir < 0
+        ir_eff = jnp.where(below, -ir - 1, ir)
+        ir_eff = jnp.minimum(ir_eff, Nr - 1)
+        sign = jnp.where(below[:, None], flip_chan[None, :], 1.0)
+        for jz in range(4):
+            iz = jnp.mod(iz_lowest + jz, Nz)
+            vals = Fflat[iz * Nr + ir_eff]           # (Np, C)
+            Fm = Fm + (Sr[jr] * Sz[jz])[:, None] * sign * vals
+
+    # Mode sum with e^{-i m theta}
+    pr, pi = jnp.ones_like(cos), jnp.zeros_like(sin)
+    pr_list, pi_list = [pr], [pi]
+    for _ in range(1, Nm):
+        pr, pi = pr * cos + pi * sin, pi * cos - pr * sin
+        pr_list.append(pr)
+        pi_list.append(pi)
+    m_range = jnp.arange(Nm)
+    mode_w = jnp.asarray([1.0] + [2.0] * (Nm - 1), dtype=rdt)
+    W = jnp.stack(
+        [jnp.stack(pr_list, axis=-1) * mode_w,
+         -jnp.stack(pi_list, axis=-1) * mode_w], axis=-1)
+    Fm4 = Fm.reshape(Fm.shape[0], 6, Nm, 2)
+    out = jnp.einsum("pcmt,pmt->pc", Fm4, W)
+
+    in_range = (r < rmax_gather).astype(rdt)
+    out = out * in_range[:, None]
+    Fr_E, Ft_E, Fz_E, Fr_B, Ft_B, Fz_B = [out[:, i] for i in range(6)]
+
+    Ex = cos * Fr_E - sin * Ft_E
+    Ey = sin * Fr_E + cos * Ft_E
+    Bx = cos * Fr_B - sin * Ft_B
+    By = sin * Fr_B + cos * Ft_B
+    return Ex, Ey, Fz_E, Bx, By, Fz_B

@@ -93,10 +93,18 @@ def impart_momenta(ptcl):
 
 
 def test_periodic_plasma_wave_linear_shape():
+    _run_plasma_wave("linear")
+
+
+def test_periodic_plasma_wave_cubic_shape():
+    _run_plasma_wave("cubic")
+
+
+def _run_plasma_wave(particle_shape):
     sim = Simulation(
         Nz, zmax, Nr, rmax, Nm, dt,
         p_zmin, p_zmax, p_rmin, p_rmax, p_nz, p_nr, p_nt, n_e,
-        n_order=n_order, particle_shape="linear", random_seed=0,
+        n_order=n_order, particle_shape=particle_shape, random_seed=0,
     )
     impart_momenta(sim.ptcl[0])
     sim.step(N_step, correct_currents=True, show_progress=False)
@@ -129,3 +137,4 @@ def test_periodic_plasma_wave_linear_shape():
 
 if __name__ == "__main__":
     test_periodic_plasma_wave_linear_shape()
+    test_periodic_plasma_wave_cubic_shape()
