@@ -89,6 +89,37 @@ class SpeciesView:
             return np.asarray(getattr(self._state, name))[:self.Ntot]
         raise AttributeError(name)
 
+    def make_ionizable(self, element, target_species, level_start=0,
+                       level_max=None):
+        """Make this species ionizable (ADK model).
+
+        Reference API: particles.py:441 (make_ionizable).
+        `target_species` is the SpeciesView receiving the new electrons.
+        """
+        import jax.numpy as jnp
+        from ..particles.ionization import (
+            IonizerConfig, build_ionizer_aux)
+        sim = self._sim
+        idx = self._index
+        ion_aux, n_levels = build_ionizer_aux(element, sim.dt, level_max)
+        if level_max is None:
+            level_max = n_levels
+        cfg = IonizerConfig(element=element, level_start=level_start,
+                            level_max=level_max,
+                            target_index=target_species._index)
+        sim.species_configs[idx] = dataclasses.replace(
+            sim.species_configs[idx], ionizable=True, ionizer=cfg)
+        # Add the ionization_level array to the particle state
+        sp = sim.state.species[idx]
+        lev = jnp.full(sp.capacity, level_start, dtype=jnp.int32)
+        lev = jnp.where(sp.w != 0, lev, 0)
+        sp = dataclasses.replace(sp, ionization_level=lev)
+        species = list(sim.state.species)
+        species[idx] = sp
+        sim.state = dataclasses.replace(sim.state, species=tuple(species))
+        sim._ionizer_auxes[idx] = ion_aux
+        sim._step_fns.clear()
+
     def __setattr__(self, name, value):
         if name in self._arrays:
             sim = self._sim
@@ -205,6 +236,7 @@ class Simulation:
         self.moving_win = None          # set by set_moving_window
         self._injector_configs = []     # per species: InjectorConfig | None
         self._injector_auxes = []       # per species: InjectorAux | None
+        self._ionizer_auxes = []        # per species: IonizerAux | None
 
         self.ptcl = []          # list of SpeciesView
         self.diags = []
@@ -334,6 +366,7 @@ class Simulation:
         self._species_counts.append(Ntot)
         self._injector_configs.append(injector_cfg)
         self._injector_auxes.append(injector_aux)
+        self._ionizer_auxes.append(None)
         self.state = dataclasses.replace(
             self.state, species=self.state.species + (pstate,))
         view = SpeciesView(self, len(self.species_configs) - 1)
@@ -442,8 +475,11 @@ class Simulation:
         idx = view._index
         sp = self.state.species[idx]
         sc = self.species_configs[idx]
+        w_eff = sp.w
+        if sp.ionization_level is not None:
+            w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
         rho = deposit_rho_linear(
-            sp.x, sp.y, sp.z, sp.w, sc.q, self.config.Nm,
+            sp.x, sp.y, sp.z, w_eff, sc.q, self.config.Nm,
             1.0 / self.config.dz, self.state.zmin, self.config.Nz,
             1.0 / self.config.dr, 0.0, self.config.Nr,
             self.aux.ruyten_linear,
@@ -527,12 +563,12 @@ class Simulation:
             mirrors=tuple(self.mirrors),
         )
         step_fn, prepare_fn = self._get_step_fn(options)
-        self._inj_auxes_cache = inj_auxes
+        ion_auxes = tuple(self._ionizer_auxes)
 
         # Refresh spectral E/B from the interpolation grid (captures any
         # user-set fields), then the initial rho_prev deposit
         # (reference: main.py:408-415 and :435-449)
-        self.state = prepare_fn(self.state, self.aux, inj_auxes)
+        self.state = prepare_fn(self.state, self.aux, inj_auxes, ion_auxes)
 
         for diag in self.diags:
             diag.write(self)
@@ -548,7 +584,8 @@ class Simulation:
                 period = min(getattr(d, "period", N) for d in writers)
                 next_boundary = period - (it % period)
                 chunk = min(chunk, max(1, next_boundary))
-            self.state = step_fn(self.state, self.aux, chunk, inj_auxes)
+            self.state = step_fn(self.state, self.aux, chunk, inj_auxes,
+                                 ion_auxes)
             done += chunk
             it += chunk
             for writer in writers:

@@ -267,7 +267,7 @@ def gather_and_push(config: GridConfig, options: StepOptions, sp, sc,
         ux, uy, uz, inv_gamma = pp.push_p(sp, E, B, sc.q, sc.m, dt,
                                           z_plane=z_plane)
         sp = dataclasses.replace(sp, ux=ux, uy=uy, uz=uz, inv_gamma=inv_gamma)
-    return sp
+    return sp, E, B
 
 
 def half_push_x(config: GridConfig, options: StepOptions, sp, zmin):
@@ -416,7 +416,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
     """
     species_configs = tuple(species_configs)
 
-    def step(state: SimState, aux: FieldAux, inj_auxes=()) -> SimState:
+    def step(state: SimState, aux: FieldAux, inj_auxes=(),
+             ion_auxes=()) -> SimState:
         spect, interp = state.spect, state.interp
         species = list(state.species)
         zmin = state.zmin
@@ -449,12 +450,41 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             spect = dataclasses.replace(spect, rho_prev=rho_prev)
 
         # --- Gather + momentum push + first half position push
-        species = [
-            gather_and_push(config, options, sp, sc, interp, zmin, dt,
-                            time=state.time, species_index=i)
-            for i, (sp, sc) in enumerate(zip(species, species_configs))
-        ]
+        gathered_EB = {}
+        for i, (sp, sc) in enumerate(zip(species, species_configs)):
+            sp, E, B = gather_and_push(config, options, sp, sc, interp,
+                                       zmin, dt, time=state.time,
+                                       species_index=i)
+            species[i] = sp
+            if sc.ionizer is not None:
+                gathered_EB[i] = (E, B)
         species = [half_push_x(config, options, sp, zmin) for sp in species]
+
+        # --- Elementary processes at t = (n+1/2) dt: ADK ionization
+        # (reference: main.py:499-503)
+        for i, sc in enumerate(species_configs):
+            if sc.ionizer is None:
+                continue
+            from ..particles.ionization import ionize
+            from ..particles.injection import write_ring
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(17 + i), state.iteration)
+            sp_new, new_elec = ionize(species[i], *gathered_EB[i],
+                                      sc.ionizer, ion_auxes[i], key)
+            species[i] = sp_new
+            tgt = sc.ionizer.target_index
+            esp = species[tgt]
+            n_new = jnp.sum((new_elec["w"] != 0).astype(jnp.int32))
+            mask = (new_elec["w"] != 0)
+            updates = {}
+            for name in ("x", "y", "z", "ux", "uy", "uz",
+                         "inv_gamma", "w"):
+                updates[name] = write_ring(getattr(esp, name),
+                                           esp.next_free, new_elec[name],
+                                           esp.capacity, mask)
+            updates["next_free"] = jnp.mod(
+                esp.next_free + n_new, esp.capacity).astype(jnp.int32)
+            species[tgt] = dataclasses.replace(esp, **updates)
 
         # --- Current deposition at t = (n+1/2) dt
         Jp, Jm, Jz = deposit_J_spect(config, aux, species, species_configs,
@@ -544,7 +574,8 @@ def make_prepare(config: GridConfig, species_configs, options: StepOptions):
     """
     species_configs = tuple(species_configs)
 
-    def prepare(state: SimState, aux: FieldAux, inj_auxes=()) -> SimState:
+    def prepare(state: SimState, aux: FieldAux, inj_auxes=(),
+                ion_auxes=()) -> SimState:
         spect = interp2spect_EB(aux, state.interp, state.spect,
                                 use_pml=config.use_pml)
         rho = deposit_rho_spect(config, aux, state.species, species_configs,
@@ -570,9 +601,10 @@ def make_multi_step(config: GridConfig, species_configs,
     step = make_step_fn(config, species_configs, options)
 
     def multi_step(state: SimState, aux: FieldAux, n_steps,
-                   inj_auxes=()) -> SimState:
+                   inj_auxes=(), ion_auxes=()) -> SimState:
         return jax.lax.fori_loop(
-            0, n_steps, lambda i, s: step(s, aux, inj_auxes), state)
+            0, n_steps, lambda i, s: step(s, aux, inj_auxes, ion_auxes),
+            state)
 
     return jax.jit(multi_step, donate_argnums=(0,))
 

@@ -30,6 +30,8 @@ class SpeciesConfig:
     # is at z = ballistic_z0 + ballistic_v * t
     ballistic_z0: object = None
     ballistic_v: float = 0.0
+    # ADK ionization settings (an IonizerConfig, or None)
+    ionizer: object = None
 
 
 @pytree_dataclass
@@ -89,6 +91,7 @@ def make_particle_state(
         ux=pad(ux), uy=pad(uy), uz=pad(uz),
         inv_gamma=pad(inv_gamma, fill=1.0),
         w=pad(w, fill=0.0),
+        next_free=jnp.asarray(n, dtype=jnp.int32),
         **extra,
     )
 
