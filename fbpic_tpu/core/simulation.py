@@ -200,6 +200,9 @@ class Simulation:
             particle_shape=particle_shape,
             boundaries_z=boundaries_z,
             n_guard=n_guard_, nz_damp=nz_damp_, n_inject=n_inject_,
+            nr_damp=(n_damp["r"] if isinstance(n_damp, dict)
+                     and boundaries.get("r") == "open" else
+                     (32 if boundaries.get("r") == "open" else 0)),
         )
         self.zmax = zmax
         self.dt = dt
@@ -535,8 +538,7 @@ class Simulation:
         (excludes the radial PML cells; reference:
         boundary_communicator.py get_rmax)."""
         if self.config.use_pml:
-            nr_damp = 32
-            return self.config.rmax - nr_damp * self.config.dr
+            return self.config.rmax - self.config.nr_damp * self.config.dr
         return self.config.rmax
 
     def step(self, N=1, correct_currents=True, correct_divE=False,

@@ -279,6 +279,21 @@ def half_push_x(config: GridConfig, options: StepOptions, sp, zmin):
     return dataclasses.replace(sp, x=x, y=y, z=z)
 
 
+def damp_pml_r(aux, interp: InterpFields) -> InterpFields:
+    """Anisotropic radial PML damping (reference: pml_damping.py:47-83):
+    the theta split components and the z components are damped;
+    Er/Br are not."""
+    damp = aux.damp_r_pml[None, None, :]
+    Et_pml = interp.Et_pml * damp
+    Bt_pml = interp.Bt_pml * damp
+    Et = interp.Et - interp.Et_pml + Et_pml
+    Bt = interp.Bt - interp.Bt_pml + Bt_pml
+    Ez = interp.Ez * damp
+    Bz = interp.Bz * damp
+    return dataclasses.replace(interp, Et=Et, Bt=Bt, Ez=Ez, Bz=Bz,
+                               Et_pml=Et_pml, Bt_pml=Bt_pml)
+
+
 # ---------------------------------------------------------------------
 # Moving window, open boundaries, continuous injection
 # ---------------------------------------------------------------------
@@ -543,8 +558,16 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         if profile is not None or halo is not None:
             spect = damp_EB_z(config, aux, spect, profile, halo=halo)
 
-        # --- Fields back to the interpolation grid for the next gather
-        interp = spect2interp_EB(aux, spect, interp, use_pml=config.use_pml)
+        # --- Radial PML: damp the split fields in full interp space,
+        #     then refresh spectral space (reference: main.py:719-768)
+        if config.use_pml and config.nr_damp > 0:
+            interp = spect2interp_EB(aux, spect, interp, use_pml=True)
+            interp = damp_pml_r(aux, interp)
+            spect = interp2spect_EB(aux, interp, spect, use_pml=True)
+        else:
+            # --- Fields back to the interpolation grid for the next gather
+            interp = spect2interp_EB(aux, spect, interp,
+                                     use_pml=config.use_pml)
 
         return SimState(
             spect=spect,

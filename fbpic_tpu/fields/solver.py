@@ -49,6 +49,7 @@ class GridConfig:
     n_guard: int = 0
     nz_damp: int = 0
     n_inject: int = 0
+    nr_damp: int = 0      # radial PML cells (0 unless use_pml)
 
     @property
     def use_comoving(self):
@@ -157,6 +158,8 @@ class FieldAux:
     field_shift: jax.Array   # (Nz,) complex = exp(1j kz_true dz)
     # Open-z damping profile (None for periodic z):
     damp_z: Optional[jax.Array] = None   # (Nz,) multiplicative
+    # Radial PML damping profile (None unless use_pml):
+    damp_r_pml: Optional[jax.Array] = None  # (Nr,) 1 outside the PML
 
 
 def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
@@ -250,7 +253,22 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
         damp_z=(dev_r(_damp_profile_z(config))
                 if config.boundaries_z == "open" and config.nz_damp > 0
                 else None),
+        damp_r_pml=(dev_r(_pml_damp_profile_r(config))
+                    if config.use_pml and config.nr_damp > 0 else None),
     )
+
+
+def _pml_damp_profile_r(config: GridConfig):
+    """Radial PML damping: exp(-4 (c dt/dr) x^2) over the last nr_damp
+    cells, 1 elsewhere (reference: pml_damping.py:86-110)."""
+    from ..constants import c as c_light
+    n_pml = config.nr_damp
+    x_pml = np.arange(n_pml) / n_pml
+    cdt_over_dr = c_light * config.dt / config.dr
+    ramp = np.exp(-4.0 * cdt_over_dr * x_pml**2)
+    profile = np.ones(config.Nr)
+    profile[config.Nr - n_pml:] = ramp
+    return profile
 
 
 def _damp_profile_z(config: GridConfig):
