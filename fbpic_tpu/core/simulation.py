@@ -89,6 +89,12 @@ class SpeciesView:
             return np.asarray(getattr(self._state, name))[:self.Ntot]
         raise AttributeError(name)
 
+    def track(self, comm=None):
+        """Enable unique particle ids for this species
+        (reference API: Particles.track)."""
+        from ..particles.tracking import enable_tracking
+        enable_tracking(self._sim, self)
+
     def make_ionizable(self, element, target_species, level_start=0,
                        level_max=None):
         """Make this species ionizable (ADK model).
@@ -313,6 +319,31 @@ class Simulation:
                     raise ValueError(
                         "If `n` is passed, `p_nz`, `p_nr`, `p_nt` are "
                         "required too.")
+            # Boosted frame: convert lab-frame quantities
+            # (reference: main.py:909-967)
+            if self.boost is not None:
+                gamma_m = np.sqrt(1. + uz_m**2 + ux_m**2 + uy_m**2)
+                beta_m_lab = uz_m / gamma_m
+                p_zmin, p_zmax = self.boost.copropag_length(
+                    [p_zmin, p_zmax], beta_object=beta_m_lab)
+                n, = self.boost.copropag_density([n],
+                                                 beta_object=beta_m_lab)
+                if uz_m == 0:
+                    uz_th = self.boost.gamma0 * uz_th
+                else:
+                    uz_th = self.boost.gamma0 *                         (1. - self.boost.beta0 * beta_m_lab) * uz_th
+                uz_m = self.boost.gamma0 * (
+                    uz_m - self.boost.beta0 * gamma_m)
+                if boost_positions_in_dens_func and dens_func is not None:
+                    from ..particles.state import _check_dens_func_arguments
+                    coef = self.boost.gamma0 * (
+                        1 - beta_m_lab * self.boost.beta0)
+                    user_func = dens_func
+                    if _check_dens_func_arguments(dens_func) == ["z", "r"]:
+                        dens_func = lambda z, r: user_func(coef * z, r)
+                    else:
+                        dens_func = (lambda x, y, z:
+                                     user_func(x, y, coef * z))
             p_zmin_, p_zmax_, Npz = adapt_to_grid(
                 self.grid_z(), p_zmin, p_zmax, p_nz)
             p_rmin_, p_rmax_, Npr = adapt_to_grid(
@@ -580,6 +611,10 @@ class Simulation:
         done = 0
         it = self.iteration  # one host read; tracked host-side below
         writers = list(self.diags) + list(self.checkpoints)
+        progress = None
+        if show_progress:
+            from ..utils.printing import ProgressBar
+            progress = ProgressBar(N)
         while done < N:
             chunk = N - done
             if writers:
@@ -590,7 +625,13 @@ class Simulation:
                                  ion_auxes)
             done += chunk
             it += chunk
+            if progress is not None:
+                jax.block_until_ready(self.state)
+                progress.time(done)
+                progress.print_progress()
             for writer in writers:
                 writer.write(self)
         # Block so that wall-clock timing by callers is meaningful
         jax.block_until_ready(self.state)
+        if progress is not None:
+            progress.print_summary()

@@ -411,6 +411,13 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
         updates[name] = write_ring(getattr(sp, name), sp.next_free,
                                    new[name], cap, mask)
+    if sp.ids is not None:
+        n_write = new["x"].shape[0]
+        new_ids = sp.next_id + jnp.arange(n_write, dtype=jnp.uint32)
+        updates["ids"] = write_ring(sp.ids, sp.next_free, new_ids, cap,
+                                    mask)
+        updates["next_id"] = sp.next_id + (
+            n_cols * col_size).astype(jnp.uint32)
     updates["next_free"] = jnp.mod(
         sp.next_free + n_cols * col_size, cap).astype(sp.next_free.dtype)
     updates["inj_z_end"] = new_z_end
@@ -497,6 +504,12 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 updates[name] = write_ring(getattr(esp, name),
                                            esp.next_free, new_elec[name],
                                            esp.capacity, mask)
+            if esp.ids is not None:
+                nb = new_elec["x"].shape[0]
+                new_ids = esp.next_id + jnp.arange(nb, dtype=jnp.uint32)
+                updates["ids"] = write_ring(esp.ids, esp.next_free,
+                                            new_ids, esp.capacity, mask)
+                updates["next_id"] = esp.next_id + n_new.astype(jnp.uint32)
             updates["next_free"] = jnp.mod(
                 esp.next_free + n_new, esp.capacity).astype(jnp.int32)
             species[tgt] = dataclasses.replace(esp, **updates)

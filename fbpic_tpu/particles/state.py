@@ -50,6 +50,8 @@ class ParticleState:
     # Continuous-injection bookkeeping (None unless injecting):
     next_free: Optional[jax.Array] = None   # int32 ring-buffer cursor
     inj_z_end: Optional[jax.Array] = None   # scalar: end of loaded plasma
+    # Tracking id counter (None unless ids are tracked)
+    next_id: Optional[jax.Array] = None     # uint32 scalar
 
     @property
     def capacity(self):
