@@ -1,0 +1,272 @@
+"""Back-transformed (boosted-frame -> lab-frame) diagnostics.
+
+For a simulation running in a boosted frame, these diagnostics
+accumulate fixed-t_lab snapshots on the fly: every boosted-frame step,
+the plane where the snapshot's lab time intersects the current boosted
+time is located in the box, the fields (or crossing particles) are
+extracted there, Lorentz-transformed to the lab frame, and written into
+the snapshot's lab-frame grid.
+
+Behavioral reference: /root/reference/fbpic/openpmd_diag/
+boosted_field_diag.py and boosted_particle_diag.py.  Host-side
+implementation (one thin slice per step).
+"""
+import os
+
+import numpy as np
+
+from ..constants import c
+from .generic import OpenPMDDiagnostic, _s
+from .field_diag import FieldDiagnostic
+
+
+class LabSnapshot(object):
+    """One fixed-t_lab snapshot being accumulated."""
+
+    def __init__(self, t_lab, zmin_lab, zmax_lab, dz_lab, Nr, Nm,
+                 fieldtypes):
+        self.t_lab = t_lab
+        self.zmin_lab = zmin_lab
+        self.zmax_lab = zmax_lab
+        self.dz_lab = dz_lab
+        self.Nz_lab = int(round((zmax_lab - zmin_lab) / dz_lab))
+        # (field, Nm, Nz_lab, Nr) complex buffers
+        self.names = []
+        for ftype in fieldtypes:
+            if ftype in ("E", "B", "J"):
+                self.names += [ftype + comp for comp in "rtz"]
+            else:
+                self.names.append(ftype)
+        self.data = {name: np.zeros((Nm, self.Nz_lab, Nr), complex)
+                     for name in self.names}
+        self.filled = np.zeros(self.Nz_lab, bool)
+        self.written = False
+
+
+class BackTransformedFieldDiagnostic(OpenPMDDiagnostic):
+    """Accumulates lab-frame field snapshots from a boosted-frame run.
+
+    Parameters (reference API: boosted_field_diag.py:25-120)
+    ----------
+    zmin_lab, zmax_lab: lab-frame z range of each snapshot
+    v_lab: speed of the snapshot window in the lab frame
+    dt_snapshots_lab: lab time between snapshots
+    Ntot_snapshots_lab: number of snapshots
+    gamma_boost: Lorentz factor of the frame
+    """
+
+    def __init__(self, zmin_lab, zmax_lab, v_lab, dt_snapshots_lab,
+                 Ntot_snapshots_lab, gamma_boost, period=1, sim=None,
+                 fldobject=None, comm=None,
+                 fieldtypes=("rho", "E", "B", "J"), write_dir=None):
+        sim = sim or fldobject
+        OpenPMDDiagnostic.__init__(self, period, comm, write_dir,
+                                   dt_sim=sim.dt if sim else None)
+        self.sim = sim
+        self.gamma_boost = gamma_boost
+        self.beta_boost = np.sqrt(1.0 - 1.0 / gamma_boost**2)
+        self.fieldtypes = list(fieldtypes)
+        cfg = sim.config
+        self.dz_lab = cfg.dz * gamma_boost * (1.0 + self.beta_boost)
+        self.snapshots = []
+        for i in range(Ntot_snapshots_lab):
+            t_lab = i * dt_snapshots_lab
+            self.snapshots.append(LabSnapshot(
+                t_lab, zmin_lab + v_lab * t_lab, zmax_lab + v_lab * t_lab,
+                self.dz_lab, cfg.Nr, cfg.Nm, self.fieldtypes))
+
+    def write(self, sim):
+        """Called every iteration: extract one slice per active snapshot."""
+        if isinstance(sim, int):
+            return
+        self.extract_slices(sim)
+        for i, snap in enumerate(self.snapshots):
+            if snap.filled.all() and not snap.written:
+                self.flush_snapshot(i, snap)
+                snap.written = True
+
+    # -----------------------------------------------------------------
+    def extract_slices(self, sim):
+        gamma, beta = self.gamma_boost, self.beta_boost
+        t_b = sim.time
+        zmin_b = sim.zmin
+        dz = sim.config.dz
+        Nz = sim.config.Nz
+
+        # Fetch the fields once per step (host)
+        grids = {}
+        for name in ("Er", "Et", "Ez", "Br", "Bt", "Bz"):
+            grids[name] = getattr(sim.state.interp, name).to_numpy()
+        need_J = any(n.startswith("J") for n in
+                     self.snapshots[0].names)
+        need_rho = "rho" in self.snapshots[0].names
+        if need_J:
+            from ..fields import transform as tr
+            Jr, Jt = tr.spect2interp_vect(sim.aux.mats, sim.state.spect.Jp,
+                                          sim.state.spect.Jm)
+            grids["Jr"], grids["Jt"] = Jr.to_numpy(), Jt.to_numpy()
+            grids["Jz"] = tr.spect2interp_scal(
+                sim.aux.mats, sim.state.spect.Jz).to_numpy()
+        if need_rho:
+            from ..fields import transform as tr
+            grids["rho"] = tr.spect2interp_scal(
+                sim.aux.mats, sim.state.spect.rho_prev).to_numpy()
+
+        for snap in self.snapshots:
+            if snap.written:
+                continue
+            # Boosted position of the t_lab = const plane at time t_b
+            z_b = (snap.t_lab / gamma - t_b) * c / beta
+            z_lab = gamma * (z_b + beta * c * t_b)
+            if z_lab < snap.zmin_lab or z_lab >= snap.zmax_lab:
+                continue
+            # Interpolate the slice at z_b between two cells
+            iz_f = (z_b - zmin_b) / dz - 0.5
+            iz0 = int(np.floor(iz_f))
+            if iz0 < 0 or iz0 >= Nz - 1:
+                continue
+            s1 = iz_f - iz0
+            slc = {name: (1 - s1) * g[:, iz0, :] + s1 * g[:, iz0 + 1, :]
+                   for name, g in grids.items() if name in snap.names}
+            slc = self._to_lab_frame(slc)
+            iz_lab = int((z_lab - snap.zmin_lab) / snap.dz_lab)
+            if 0 <= iz_lab < snap.Nz_lab:
+                for name in snap.names:
+                    snap.data[name][:, iz_lab, :] = slc[name]
+                snap.filled[iz_lab] = True
+
+    def _to_lab_frame(self, slc):
+        """Lorentz transform with -beta (reference:
+        boosted_field_diag.py:694-742)."""
+        gamma = self.gamma_boost
+        cbeta = c * self.beta_boost
+        beta_c = self.beta_boost / c
+        out = dict(slc)
+        if "Er" in slc and "Bt" in slc:
+            out["Er"] = gamma * (slc["Er"] + cbeta * slc["Bt"])
+            out["Bt"] = gamma * (slc["Bt"] + beta_c * slc["Er"])
+        if "Et" in slc and "Br" in slc:
+            out["Et"] = gamma * (slc["Et"] - cbeta * slc["Br"])
+            out["Br"] = gamma * (slc["Br"] - beta_c * slc["Et"])
+        if "rho" in slc and "Jz" in slc:
+            out["rho"] = gamma * (slc["rho"] + beta_c * slc["Jz"])
+            out["Jz"] = gamma * (slc["Jz"] + cbeta * slc["rho"])
+        return out
+
+    # -----------------------------------------------------------------
+    def flush_snapshot(self, i, snap):
+        sim = self.sim
+        filename = "data%08d.h5" % i
+        fullpath = os.path.join(self.write_dir, "hdf5", filename)
+        f = self.open_file(fullpath)
+        if f is None:
+            return
+        self.setup_openpmd_file(f, i, snap.t_lab, self.dz_lab / c)
+        grp = f.require_group("/data/%d/fields/" % i)
+        Nm = sim.config.Nm
+        for name, data in snap.data.items():
+            shape = (2 * Nm - 1, data.shape[2], data.shape[1])
+            if name[0] in "EBJ" and name != "rho":
+                path = "%s/%s" % (name[0], name[1])
+            else:
+                path = name
+            dset = grp.require_dataset(path, shape, dtype="f8")
+            dset[0] = data[0].T.real
+            for m in range(1, Nm):
+                dset[2 * m - 1] = 2 * data[m].T.real
+                dset[2 * m] = 2 * data[m].T.imag
+            dset.attrs["unitSI"] = 1.0
+            dset.attrs["position"] = np.array([0.5, 0.5])
+        f.close()
+
+
+# Reference alias
+BoostedFieldDiagnostic = BackTransformedFieldDiagnostic
+
+
+class BackTransformedParticleDiagnostic(OpenPMDDiagnostic):
+    """Catches particles crossing the snapshot planes and transforms
+    them to the lab frame (reference: boosted_particle_diag.py).
+
+    Host-side: keeps the previous-step particle arrays to detect plane
+    crossings, interpolates the crossing time, and applies the inverse
+    Lorentz transform.
+    """
+
+    def __init__(self, zmin_lab, zmax_lab, v_lab, dt_snapshots_lab,
+                 Ntot_snapshots_lab, gamma_boost, period=1, sim=None,
+                 species=None, comm=None, write_dir=None):
+        OpenPMDDiagnostic.__init__(self, period, comm, write_dir,
+                                   dt_sim=sim.dt if sim else None)
+        self.sim = sim
+        self.species_dict = species or {}
+        self.gamma_boost = gamma_boost
+        self.beta_boost = np.sqrt(1.0 - 1.0 / gamma_boost**2)
+        self.snapshots = [
+            dict(t_lab=i * dt_snapshots_lab, buffers=[], written=False,
+                 zmin_lab=zmin_lab + v_lab * i * dt_snapshots_lab,
+                 zmax_lab=zmax_lab + v_lab * i * dt_snapshots_lab)
+            for i in range(Ntot_snapshots_lab)]
+        self._prev = {}
+
+    def write(self, sim):
+        if isinstance(sim, int):
+            return
+        gamma, beta = self.gamma_boost, self.beta_boost
+        t_b = sim.time
+        for name, view in self.species_dict.items():
+            cur = {k: getattr(view, k) for k in
+                   ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w")}
+            prev = self._prev.get(name)
+            self._prev[name] = cur
+            if prev is None or len(prev["z"]) != len(cur["z"]):
+                continue
+            for snap in self.snapshots:
+                if snap["written"]:
+                    continue
+                z_plane = (snap["t_lab"] / gamma - t_b) * c / beta
+                crossed = (prev["z"] >= z_plane) & (cur["z"] < z_plane) \
+                    | (prev["z"] < z_plane) & (cur["z"] >= z_plane)
+                crossed &= cur["w"] != 0
+                if not crossed.any():
+                    continue
+                sel = {k: v[crossed] for k, v in cur.items()}
+                # Lorentz transform to the lab frame (inverse boost)
+                gamma_p = 1.0 / sel["inv_gamma"]
+                uz_lab = gamma * (sel["uz"] + beta * gamma_p)
+                gamma_lab = np.sqrt(1 + sel["ux"]**2 + sel["uy"]**2
+                                    + uz_lab**2)
+                z_lab = gamma * (sel["z"] + beta * c * t_b)
+                keep = (z_lab >= snap["zmin_lab"]) & \
+                    (z_lab < snap["zmax_lab"])
+                snap["buffers"].append(dict(
+                    x=sel["x"][keep], y=sel["y"][keep], z=z_lab[keep],
+                    ux=sel["ux"][keep], uy=sel["uy"][keep],
+                    uz=uz_lab[keep], w=sel["w"][keep],
+                    inv_gamma=1.0 / gamma_lab[keep],
+                    species=name))
+        # Flush snapshots whose plane has left the box
+        for i, snap in enumerate(self.snapshots):
+            z_plane = (snap["t_lab"] / gamma - t_b) * c / beta
+            if not snap["written"] and z_plane < sim.zmin:
+                self._flush(i, snap)
+                snap["written"] = True
+
+    def _flush(self, i, snap):
+        import h5py
+        filename = "particles%08d.h5" % i
+        fullpath = os.path.join(self.write_dir, "hdf5", filename)
+        with h5py.File(fullpath, "w") as f:
+            self.setup_openpmd_file(f, i, snap["t_lab"], 0.0)
+            for name in self.species_dict:
+                bufs = [b for b in snap["buffers"] if b["species"] == name]
+                grp = f.require_group("/data/%d/particles/%s" % (i, name))
+                for key in ("x", "y", "z", "ux", "uy", "uz", "w"):
+                    if bufs:
+                        data = np.concatenate([b[key] for b in bufs])
+                    else:
+                        data = np.zeros(0)
+                    grp.create_dataset(key, data=data)
+
+
+BoostedParticleDiagnostic = BackTransformedParticleDiagnostic

@@ -5,6 +5,7 @@ from .diagnostics import (
     ParticleChargeDensityDiagnostic, set_periodic_checkpoint,
     restart_from_checkpoint, InputScriptDiagnostic,
 )
-# Reference alias names
-BoostedFieldDiagnostic = None   # populated once back-transformed diags land
-BackTransformedFieldDiagnostic = None
+from .diagnostics import (  # noqa: F401
+    BoostedFieldDiagnostic, BackTransformedFieldDiagnostic,
+    BoostedParticleDiagnostic, BackTransformedParticleDiagnostic,
+)
