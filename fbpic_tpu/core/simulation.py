@@ -594,6 +594,7 @@ class Simulation:
             injectors=injectors,
             external_fields=tuple(self.external_fields),
             mirrors=tuple(self.mirrors),
+            n_antennas=len(self.laser_antennas),
         )
         step_fn, prepare_fn = self._get_step_fn(options)
         ion_auxes = tuple(self._ionizer_auxes)
@@ -621,8 +622,19 @@ class Simulation:
                 period = min(getattr(d, "period", N) for d in writers)
                 next_boundary = period - (it % period)
                 chunk = min(chunk, max(1, next_boundary))
+            antenna_series = ()
+            if self.laser_antennas:
+                import dataclasses as _dc
+                series_list = []
+                for antenna in self.laser_antennas:
+                    series = antenna.compute_series(
+                        it * self.dt, chunk, self.config.dz)
+                    series = _dc.replace(
+                        series, it0=jnp.asarray(it, jnp.int32))
+                    series_list.append(series)
+                antenna_series = tuple(series_list)
             self.state = step_fn(self.state, self.aux, chunk, inj_auxes,
-                                 ion_auxes)
+                                 ion_auxes, antenna_series)
             done += chunk
             it += chunk
             if progress is not None:

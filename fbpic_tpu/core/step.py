@@ -48,6 +48,8 @@ class StepOptions:
     injectors: tuple = ()
     # ExternalField objects (applied to gathered per-particle fields)
     external_fields: tuple = ()
+    # Number of laser antennas (their current series are dynamic args)
+    n_antennas: int = 0
     # Mirror objects (zero E/B in thin z-slabs each step)
     mirrors: tuple = ()
 
@@ -90,8 +92,13 @@ def deposit_rho_spect(config, aux, species, species_configs, zmin):
     return rho_spect
 
 
-def deposit_J_spect(config, aux, species, species_configs, zmin):
-    """Deposit current of all species -> spectral (Jp, Jm, Jz)."""
+def deposit_J_spect(config, aux, species, species_configs, zmin,
+                    antenna_series=(), iteration=None):
+    """Deposit current of all species -> spectral (Jp, Jm, Jz).
+
+    `antenna_series`: per-antenna precomputed surface currents, added
+    onto the grid before the transform (reference: laser antennas
+    deposit via the normal J path, main.py:509-522)."""
     JrJtJz = None
     for sp, sc in zip(species, species_configs):
         if sc.is_tracer:
@@ -122,6 +129,11 @@ def deposit_J_spect(config, aux, species, species_configs, zmin):
                        aux.filter_z.dtype)
         JrJtJz = [z, z, z]
     Jr, Jt, Jz = [a * aux.invvol[:, None, :] for a in JrJtJz]
+    if antenna_series:
+        from ..lpa_utils.laser.antenna_injection import add_antenna_current
+        for series in antenna_series:
+            Jr, Jt = add_antenna_current(Jr, Jt, series, iteration, zmin,
+                                         config.dz, config.Nz)
     return tr.interp2spect_J_fields(aux.mats, Jr, Jt, Jz)
 
 
@@ -439,7 +451,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
     species_configs = tuple(species_configs)
 
     def step(state: SimState, aux: FieldAux, inj_auxes=(),
-             ion_auxes=()) -> SimState:
+             ion_auxes=(), antenna_series=()) -> SimState:
         spect, interp = state.spect, state.interp
         species = list(state.species)
         zmin = state.zmin
@@ -516,7 +528,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
 
         # --- Current deposition at t = (n+1/2) dt
         Jp, Jm, Jz = deposit_J_spect(config, aux, species, species_configs,
-                                     zmin)
+                                     zmin, antenna_series=antenna_series,
+                                     iteration=state.iteration)
         if options.filter_currents:
             Jp, Jm, Jz = ps.filter_vector(Jp, Jm, Jz, aux.filter_z,
                                           aux.filter_r)
@@ -611,7 +624,7 @@ def make_prepare(config: GridConfig, species_configs, options: StepOptions):
     species_configs = tuple(species_configs)
 
     def prepare(state: SimState, aux: FieldAux, inj_auxes=(),
-                ion_auxes=()) -> SimState:
+                ion_auxes=(), antenna_series=()) -> SimState:
         spect = interp2spect_EB(aux, state.interp, state.spect,
                                 use_pml=config.use_pml)
         rho = deposit_rho_spect(config, aux, state.species, species_configs,
@@ -637,9 +650,12 @@ def make_multi_step(config: GridConfig, species_configs,
     step = make_step_fn(config, species_configs, options)
 
     def multi_step(state: SimState, aux: FieldAux, n_steps,
-                   inj_auxes=(), ion_auxes=()) -> SimState:
+                   inj_auxes=(), ion_auxes=(),
+                   antenna_series=()) -> SimState:
         return jax.lax.fori_loop(
-            0, n_steps, lambda i, s: step(s, aux, inj_auxes, ion_auxes),
+            0, n_steps,
+            lambda i, s: step(s, aux, inj_auxes, ion_auxes,
+                              antenna_series),
             state)
 
     return jax.jit(multi_step, donate_argnums=(0,))
