@@ -77,10 +77,26 @@ class SpeciesView:
         return self.config.m
 
     @property
+    def _can_grow(self):
+        """Whether particles can be created into this species at runtime
+        (continuous injection, or target of ionization / Compton)."""
+        sim = self._sim
+        if sim._injector_configs[self._index] is not None:
+            return True
+        for sc in sim.species_configs:
+            if sc.ionizer is not None \
+                    and sc.ionizer.target_index == self._index:
+                return True
+            if sc.compton is not None \
+                    and sc.compton.target_index == self._index:
+                return True
+        return False
+
+    @property
     def Ntot(self):
-        # With a ring-buffer injector, live particles can be anywhere in
-        # the capacity array (dead slots carry w = 0)
-        if self._sim._injector_configs[self._index] is not None:
+        # With runtime particle creation, live particles can be anywhere
+        # in the capacity array (dead slots carry w = 0)
+        if self._can_grow:
             return self._state.capacity
         return self._sim._species_counts[self._index]
 
@@ -94,6 +110,24 @@ class SpeciesView:
         (reference API: Particles.track)."""
         from ..particles.tracking import enable_tracking
         enable_tracking(self._sim, self)
+
+    def activate_compton(self, target_species, laser_energy,
+                         laser_wavelength, laser_waist, laser_ctau,
+                         laser_initial_z0, ratio_w_electron_photon=1.0,
+                         boost=None):
+        """Activate Compton scattering against a rigid Gaussian laser
+        (reference API: particles.py:394, activate_compton)."""
+        from ..particles.compton import ComptonConfig, build_compton_aux
+        sim = self._sim
+        idx = self._index
+        cfg = ComptonConfig(target_index=target_species._index,
+                            ratio_w_electron_photon=ratio_w_electron_photon)
+        sim.species_configs[idx] = dataclasses.replace(
+            sim.species_configs[idx], compton=cfg)
+        sim._compton_auxes[idx] = build_compton_aux(
+            laser_energy, laser_wavelength, laser_waist, laser_ctau,
+            laser_initial_z0, boost=boost or sim.boost)
+        sim._step_fns.clear()
 
     def make_ionizable(self, element, target_species, level_start=0,
                        level_max=None):
@@ -246,6 +280,7 @@ class Simulation:
         self._injector_configs = []     # per species: InjectorConfig | None
         self._injector_auxes = []       # per species: InjectorAux | None
         self._ionizer_auxes = []        # per species: IonizerAux | None
+        self._compton_auxes = []        # per species: ComptonAux | None
 
         self.ptcl = []          # list of SpeciesView
         self.diags = []
@@ -401,6 +436,7 @@ class Simulation:
         self._injector_configs.append(injector_cfg)
         self._injector_auxes.append(injector_aux)
         self._ionizer_auxes.append(None)
+        self._compton_auxes.append(None)
         self.state = dataclasses.replace(
             self.state, species=self.state.species + (pstate,))
         view = SpeciesView(self, len(self.species_configs) - 1)
@@ -598,11 +634,13 @@ class Simulation:
         )
         step_fn, prepare_fn = self._get_step_fn(options)
         ion_auxes = tuple(self._ionizer_auxes)
+        comp_auxes = tuple(self._compton_auxes)
 
         # Refresh spectral E/B from the interpolation grid (captures any
         # user-set fields), then the initial rho_prev deposit
         # (reference: main.py:408-415 and :435-449)
-        self.state = prepare_fn(self.state, self.aux, inj_auxes, ion_auxes)
+        self.state = prepare_fn(self.state, self.aux, inj_auxes, ion_auxes,
+                                (), comp_auxes)
 
         for diag in self.diags:
             diag.write(self)
@@ -634,7 +672,7 @@ class Simulation:
                     series_list.append(series)
                 antenna_series = tuple(series_list)
             self.state = step_fn(self.state, self.aux, chunk, inj_auxes,
-                                 ion_auxes, antenna_series)
+                                 ion_auxes, antenna_series, comp_auxes)
             done += chunk
             it += chunk
             if progress is not None:

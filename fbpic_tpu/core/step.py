@@ -451,7 +451,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
     species_configs = tuple(species_configs)
 
     def step(state: SimState, aux: FieldAux, inj_auxes=(),
-             ion_auxes=(), antenna_series=()) -> SimState:
+             ion_auxes=(), antenna_series=(), comp_auxes=()) -> SimState:
         spect, interp = state.spect, state.interp
         species = list(state.species)
         zmin = state.zmin
@@ -493,6 +493,33 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             if sc.ionizer is not None:
                 gathered_EB[i] = (E, B)
         species = [half_push_x(config, options, sp, zmin) for sp in species]
+
+        # --- Elementary processes at t = (n+1/2) dt: Compton scattering
+        # (reference: main.py:499-503)
+        for i, sc in enumerate(species_configs):
+            if sc.compton is None:
+                continue
+            from ..particles.compton import handle_compton
+            from ..particles.injection import write_ring
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(1313 + i), state.iteration)
+            sp_new, new_ph = handle_compton(
+                species[i], sc.compton, comp_auxes[i], dt,
+                state.time + 0.5 * dt, key)
+            species[i] = sp_new
+            tgt = sc.compton.target_index
+            psp = species[tgt]
+            n_new = jnp.sum((new_ph["w"] != 0).astype(jnp.int32))
+            mask = new_ph["w"] != 0
+            updates = {}
+            for name in ("x", "y", "z", "ux", "uy", "uz",
+                         "inv_gamma", "w"):
+                updates[name] = write_ring(getattr(psp, name),
+                                           psp.next_free, new_ph[name],
+                                           psp.capacity, mask)
+            updates["next_free"] = jnp.mod(
+                psp.next_free + n_new, psp.capacity).astype(jnp.int32)
+            species[tgt] = dataclasses.replace(psp, **updates)
 
         # --- Elementary processes at t = (n+1/2) dt: ADK ionization
         # (reference: main.py:499-503)
@@ -624,7 +651,7 @@ def make_prepare(config: GridConfig, species_configs, options: StepOptions):
     species_configs = tuple(species_configs)
 
     def prepare(state: SimState, aux: FieldAux, inj_auxes=(),
-                ion_auxes=(), antenna_series=()) -> SimState:
+                ion_auxes=(), antenna_series=(), comp_auxes=()) -> SimState:
         spect = interp2spect_EB(aux, state.interp, state.spect,
                                 use_pml=config.use_pml)
         rho = deposit_rho_spect(config, aux, state.species, species_configs,
@@ -651,11 +678,11 @@ def make_multi_step(config: GridConfig, species_configs,
 
     def multi_step(state: SimState, aux: FieldAux, n_steps,
                    inj_auxes=(), ion_auxes=(),
-                   antenna_series=()) -> SimState:
+                   antenna_series=(), comp_auxes=()) -> SimState:
         return jax.lax.fori_loop(
             0, n_steps,
             lambda i, s: step(s, aux, inj_auxes, ion_auxes,
-                              antenna_series),
+                              antenna_series, comp_auxes),
             state)
 
     return jax.jit(multi_step, donate_argnums=(0,))

@@ -1,0 +1,15 @@
+from .boosted_frame import BoostConverter
+from .bunch import (
+    add_particle_bunch, add_particle_bunch_gaussian,
+    add_particle_bunch_file, add_particle_bunch_openPMD,
+    add_particle_bunch_from_arrays, get_space_charge_fields,
+)
+from .external_fields import ExternalField
+from .mirrors import Mirror
+
+__all__ = [
+    "BoostConverter", "add_particle_bunch", "add_particle_bunch_gaussian",
+    "add_particle_bunch_file", "add_particle_bunch_openPMD",
+    "add_particle_bunch_from_arrays", "get_space_charge_fields",
+    "ExternalField", "Mirror",
+]

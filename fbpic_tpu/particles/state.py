@@ -32,6 +32,8 @@ class SpeciesConfig:
     ballistic_v: float = 0.0
     # ADK ionization settings (an IonizerConfig, or None)
     ionizer: object = None
+    # Compton scattering settings (a ComptonConfig, or None)
+    compton: object = None
 
 
 @pytree_dataclass
