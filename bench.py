@@ -1,13 +1,21 @@
-"""Benchmark: per-step cost of the PIC cycle on the standard LWFA-scale grid.
+"""Benchmark: the standard LWFA simulation on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Config mirrors the reference's standard LWFA benchmark scale
-(docs/source/example_input/lwfa_script.py: Nz=800, Nr=50, Nm=2,
-16 particles/cell).  `vs_baseline` is (reference_target / measured)
-where the target is 1.5 ns/particle/step -- the scale of CUDA FBPIC on
-a V100-class GPU for this workload (the reference publishes no absolute
-numbers; see BASELINE.md).  >1.0 means faster than the target.
+The workload is the reference's standard LWFA benchmark
+(docs/source/example_input/lwfa_script.py): Nz=800, Nr=50, Nm=2,
+16 particles/cell, a0=4 Gaussian laser, moving window + continuous
+injection + open z boundaries -- i.e. the full production hot loop
+(gather, Vay push, rho/J deposition, current correction, PSATD,
+window shift, injection, damping).
+
+`vs_baseline` is (reference_target / measured) with a target of
+1.5 ns/particle/step -- the scale of CUDA FBPIC on a V100-class GPU for
+this workload (the reference publishes no absolute numbers, and it
+cannot run here: no numba, 1 CPU core -- see BASELINE.md).
+>1.0 means faster than the target.  Measured r1: 118 ns/particle/step
+(68 ms/step, 576k particles) on one TPU v5e chip; the cost model is
+scatter-bound (~13.7 ns per particle-index per deposition pass).
 """
 import json
 import time
@@ -16,31 +24,42 @@ import numpy as np
 
 REFERENCE_TARGET_NS = 1.5  # ns/particle/step, CUDA-FBPIC-on-V100 scale
 
-# Benchmark scale (LWFA standard)
+# The standard LWFA benchmark (lwfa_script.py values)
 NZ, NR, NM = 800, 50, 2
+ZMAX, ZMIN = 30.e-6, -10.e-6
+RMAX = 20.e-6
+P_ZMIN, P_ZMAX = 0.e-6, 500.e-6
+P_RMAX = 18.e-6
+N_E = 4.e24
 P_NZ, P_NR, P_NT = 2, 2, 4       # 16 particles per cell
-N_WARMUP = 3
-N_STEPS = 30
+A0, W0, TAU, Z0 = 4.0, 5.e-6, 16.7e-15, -8.e-6
+N_WARMUP = 5
+N_STEPS = 60
 
 
 def main():
     import jax
     from fbpic_tpu import Simulation
     from fbpic_tpu.constants import c
+    from fbpic_tpu.lpa_utils.laser import add_laser_pulse, GaussianLaser
 
-    zmax = NZ * 0.05e-6
-    rmax = NR * 0.4e-6
-    dt = zmax / NZ / c
-
+    dt = (ZMAX - ZMIN) / NZ / c
     sim = Simulation(
-        NZ, zmax, NR, rmax, NM, dt,
-        p_zmin=0.0, p_zmax=zmax, p_rmin=0.0, p_rmax=0.9 * rmax,
-        p_nz=P_NZ, p_nr=P_NR, p_nt=P_NT, n_e=2.0e24,
-        n_order=32, random_seed=0,
+        NZ, ZMAX, NR, RMAX, NM, dt,
+        p_zmin=P_ZMIN, p_zmax=P_ZMAX, p_rmin=0., p_rmax=P_RMAX,
+        p_nz=P_NZ, p_nr=P_NR, p_nt=P_NT, n_e=N_E, zmin=ZMIN,
+        n_order=32, boundaries={"z": "open", "r": "reflective"},
+        random_seed=0,
     )
-    n_particles = sim.ptcl[0].Ntot
+    add_laser_pulse(sim, GaussianLaser(a0=A0, waist=W0, tau=TAU, z0=Z0))
+    sim.set_moving_window(v=c)
 
-    # Warmup (jit compile)
+    # Average particle count during the benchmark: the plasma fills the
+    # box; use the ring capacity occupancy estimate = box plasma
+    n_particles = int(
+        (P_ZMAX - P_ZMIN < (ZMAX - ZMIN)) and sim.ptcl[0].Ntot
+        or NZ * (P_RMAX / RMAX * NR) * P_NZ * P_NR * P_NT)
+
     sim.step(N_WARMUP, show_progress=False)
 
     t0 = time.perf_counter()
@@ -48,17 +67,16 @@ def main():
     t1 = time.perf_counter()
 
     wall = t1 - t0
-    # step() includes a fresh rho_prev deposit + E/B re-transform per
-    # call; that is once per call, not per step, so amortized over N_STEPS.
     ns_per_particle_step = wall * 1e9 / (N_STEPS * n_particles)
     steps_per_sec = N_STEPS / wall
 
     result = {
-        "metric": "lwfa_scale_ns_per_particle_step",
+        "metric": "lwfa_ns_per_particle_step",
         "value": round(ns_per_particle_step, 4),
         "unit": "ns/particle/step",
         "vs_baseline": round(REFERENCE_TARGET_NS / ns_per_particle_step, 4),
         "steps_per_sec": round(steps_per_sec, 3),
+        "ms_per_step": round(wall / N_STEPS * 1e3, 3),
         "n_particles": int(n_particles),
         "grid": [NZ, NR, NM],
         "device": str(jax.devices()[0]),

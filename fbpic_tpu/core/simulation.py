@@ -264,18 +264,22 @@ class Simulation:
 
         self._rng = np.random.RandomState(random_seed)
 
-        # Initial (empty) state
-        self.species_configs = []
-        self._species_counts = []
+        # Initial (empty) state.  NOTE: scalars use explicit (strong)
+        # dtypes -- weak-typed scalars would change aval on the first
+        # step and trigger a full recompile of the second step() call.
+        from ..utils.dtypes import real_dtype
+        rdt = real_dtype()
         self.state = SimState(
             spect=SpectralFields.zeros(self.config),
             interp=InterpFields.zeros(self.config),
             species=(),
-            time=jnp.asarray(0.0),
-            zmin=jnp.asarray(float(zmin_total)),
+            time=jnp.asarray(0.0, dtype=rdt),
+            zmin=jnp.asarray(float(zmin_total), dtype=rdt),
             iteration=jnp.asarray(0, dtype=jnp.int32),
-            mw_zref=jnp.asarray(float(zmin_total)),
+            mw_zref=jnp.asarray(float(zmin_total), dtype=rdt),
         )
+        self.species_configs = []
+        self._species_counts = []
         self.moving_win = None          # set by set_moving_window
         self._injector_configs = []     # per species: InjectorConfig | None
         self._injector_auxes = []       # per species: InjectorAux | None
