@@ -614,7 +614,7 @@ class Simulation:
 
     def step(self, N=1, correct_currents=True, correct_divE=False,
              use_true_rho=False, move_positions=True, move_momenta=True,
-             show_progress=False):
+             show_progress=False, reuse_rho_prev=True):
         """Perform N PIC cycles."""
         mw_v = self.moving_win
         injectors = ()
@@ -635,6 +635,7 @@ class Simulation:
             external_fields=tuple(self.external_fields),
             mirrors=tuple(self.mirrors),
             n_antennas=len(self.laser_antennas),
+            reuse_rho_prev=reuse_rho_prev,
         )
         step_fn, prepare_fn = self._get_step_fn(options)
         ion_auxes = tuple(self._ionizer_auxes)

@@ -52,6 +52,13 @@ class StepOptions:
     n_antennas: int = 0
     # Mirror objects (zero E/B in thin z-slabs each step)
     mirrors: tuple = ()
+    # Reuse the previous step's rho_next as rho_prev in moving-window
+    # runs (plus an exact delta for the newly injected columns) instead
+    # of re-depositing the full particle set -- saves one full-capacity
+    # scatter per step.  Exactness relies on the deposit edge mask
+    # (deposit.py::_geometry mask_edges): removal only ever kills
+    # particles whose previous rho_next contribution was already zero.
+    reuse_rho_prev: bool = True
 
 
 # ---------------------------------------------------------------------
@@ -366,6 +373,27 @@ def _z_profile(config, options, aux, zmin, time):
     return profile
 
 
+def _deposit_new_columns_rho(config, aux, new_dicts, species_configs, zmin):
+    """Spectral rho of freshly injected plasma columns only.
+
+    new_dicts: {species_index: dict of (n_template,) arrays} as returned
+    by continuous_injection (w already masked to the columns actually
+    injected).  The scatter is tiny (<= MAX_INJECT_COLS columns)."""
+    import types
+    species, configs = [], []
+    for i, new in new_dicts.items():
+        sc = species_configs[i]
+        lvl = None
+        if sc.ionizable and sc.ionizer is not None:
+            lvl = jnp.full(new["x"].shape[0], sc.ionizer.level_start,
+                           dtype=jnp.int32)
+        species.append(types.SimpleNamespace(
+            x=new["x"], y=new["y"], z=new["z"], w=new["w"],
+            ionization_level=lvl))
+        configs.append(sc)
+    return deposit_rho_spect(config, aux, species, configs, zmin)
+
+
 def remove_outside_particles(config, sp, zmin):
     """Mark particles outside the grid as dead (w = 0) and park them.
 
@@ -423,6 +451,11 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
         updates[name] = write_ring(getattr(sp, name), sp.next_free,
                                    new[name], cap, mask)
+    if sp.ionization_level is not None:
+        lvl = (sc.ionizer.level_start if sc.ionizer is not None else 0)
+        new_lvl = jnp.full(n_write, lvl, dtype=jnp.int32)
+        updates["ionization_level"] = write_ring(
+            sp.ionization_level, sp.next_free, new_lvl, cap, mask)
     if sp.ids is not None:
         n_write = new["x"].shape[0]
         new_ids = sp.next_id + jnp.arange(n_write, dtype=jnp.uint32)
@@ -433,6 +466,10 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     updates["next_free"] = jnp.mod(
         sp.next_free + n_cols * col_size, cap).astype(sp.next_free.dtype)
     updates["inj_z_end"] = new_z_end
+    # Mask the unused template slots so the dict can be deposited
+    # directly (rho_prev injection delta)
+    new = dict(new)
+    new["w"] = jnp.where(mask, new["w"], jnp.zeros_like(new["w"]))
     return dataclasses.replace(sp, **updates), new
 
 
@@ -464,8 +501,17 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         #     consistent charge history (reference: main.py:435-449
         #     re-deposits rho_prev after every particle exchange)
         if config.boundaries_z == "open":
+            # Removal is exactly consistent with the deposit edge mask:
+            # any particle killed here contributed ZERO to the previous
+            # rho_next (same position, same threshold), so rho_prev
+            # reuse below stays exact.
             species = [remove_outside_particles(config, sp, zmin)
                        for sp in species]
+            reuse = (options.reuse_rho_prev
+                     and options.moving_window_v is not None
+                     and config.current_correction != "cross-deposition"
+                     and halo is None)
+            new_dicts = {}
             if options.moving_window_v is not None:
                 for i, (sp, sc) in enumerate(zip(species, species_configs)):
                     inj_cfg = (options.injectors[i]
@@ -476,12 +522,26 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                         config, options, aux, sp, sc, inj_cfg, inj_auxes[i],
                         zmin, state.iteration)
                     species[i] = sp
-            rho_prev = deposit_rho_spect(config, aux, species,
-                                         species_configs, zmin)
-            if options.filter_currents:
-                rho_prev = ps.filter_scalar(rho_prev, aux.filter_z,
-                                            aux.filter_r)
-            spect = dataclasses.replace(spect, rho_prev=rho_prev)
+                    new_dicts[i] = _new
+            if reuse:
+                # rho_prev already equals shift(previous rho_next)
+                # (push_fields + shift_spectral_fields); add the charge
+                # of the freshly injected columns (a tiny deposit).
+                if new_dicts:
+                    delta = _deposit_new_columns_rho(
+                        config, aux, new_dicts, species_configs, zmin)
+                    if options.filter_currents:
+                        delta = ps.filter_scalar(delta, aux.filter_z,
+                                                 aux.filter_r)
+                    spect = dataclasses.replace(
+                        spect, rho_prev=spect.rho_prev + delta)
+            else:
+                rho_prev = deposit_rho_spect(config, aux, species,
+                                             species_configs, zmin)
+                if options.filter_currents:
+                    rho_prev = ps.filter_scalar(rho_prev, aux.filter_z,
+                                                aux.filter_r)
+                spect = dataclasses.replace(spect, rho_prev=rho_prev)
 
         # --- Gather + momentum push + first half position push
         gathered_EB = {}
