@@ -348,8 +348,14 @@ class Simulation:
                         uz_th=0.0, ux_th=0.0, uy_th=0.0,
                         continuous_injection=True,
                         boost_positions_in_dens_func=False,
-                        is_tracer=False, capacity=None, name=None):
-        """Create a new species; returns a SpeciesView."""
+                        is_tracer=False, capacity=None, name=None,
+                        sort_K=None):
+        """Create a new species; returns a SpeciesView.
+
+        sort_K: per-column slot capacity for the sorted dense (MXU)
+        deposition path.  None = auto (enabled for large linear-shape
+        species at 2x the initial max column occupancy); 0 = disable
+        (use the scatter deposition path)."""
         injector_cfg = None
         injector_aux = None
         if n is not None:
@@ -419,10 +425,20 @@ class Simulation:
             Ntot = 0
             x = y = z = ux = uy = uz = inv_gamma = w = np.empty(0)
 
+        if sort_K is None:
+            # Default OFF: on TPU v5e the sorted dense path measures
+            # slower than the channel-packed scatter (gathers are also
+            # per-index at ~7.7 ns, and the padded plan needs ~2x more
+            # gathered rows than the scatter needs indices; the batched
+            # (54x1440)@(1440x96) einsum adds 8.6 ms at ~2 TF/s).  Kept
+            # as an opt-in for hardware where those ratios differ.
+            sort_K = 0
+
         sc = SpeciesConfig(
             q=q, m=m, particle_shape=self.config.particle_shape,
             is_tracer=is_tracer,
             name=name or f"species{len(self.species_configs)}",
+            sort_K=int(sort_K),
         )
         pstate = make_particle_state(x, y, z, ux, uy, uz, inv_gamma, w,
                                      capacity=capacity)

@@ -28,6 +28,9 @@ from ..particles.gather import gather_fields_linear, gather_fields_cubic
 from ..particles.deposit import (
     deposit_rho_linear, deposit_J_linear, deposit_rho_cubic, deposit_J_cubic,
 )
+from ..particles.sorted_deposit import (
+    build_column_sort, deposit_rho_sorted, deposit_J_sorted,
+)
 from .state import SimState
 
 
@@ -69,16 +72,26 @@ def _zfold(config: GridConfig):
     return "periodic" if config.boundaries_z == "periodic" else "clamp"
 
 
-def deposit_rho_spect(config, aux, species, species_configs, zmin):
-    """Deposit charge of all species -> spectral rho (Nm, Nz, Nr)."""
+def deposit_rho_spect(config, aux, species, species_configs, zmin,
+                      sorts=None):
+    """Deposit charge of all species -> spectral rho (Nm, Nz, Nr).
+
+    sorts: optional {species_index: column-sort plan} enabling the
+    sorted dense (MXU) deposition path for large species."""
     rho = None
-    for sp, sc in zip(species, species_configs):
+    for i, (sp, sc) in enumerate(zip(species, species_configs)):
         if sc.is_tracer:
             continue
         w_eff = sp.w
-        if sp.ionization_level is not None:
+        if getattr(sp, "ionization_level", None) is not None:
             w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
-        if sc.particle_shape == "cubic":
+        if sorts is not None and i in sorts:
+            contrib = deposit_rho_sorted(
+                sorts[i], sp.x, sp.y, sp.z, w_eff, sc.q, config.Nm,
+                1.0 / config.dz, zmin, config.Nz,
+                1.0 / config.dr, 0.0, config.Nr,
+                aux.ruyten_linear, zfold=_zfold(config))
+        elif sc.particle_shape == "cubic":
             contrib = deposit_rho_cubic(
                 sp.x, sp.y, sp.z, w_eff, sc.q, config.Nm,
                 1.0 / config.dz, zmin, config.Nz,
@@ -100,20 +113,29 @@ def deposit_rho_spect(config, aux, species, species_configs, zmin):
 
 
 def deposit_J_spect(config, aux, species, species_configs, zmin,
-                    antenna_series=(), iteration=None):
+                    antenna_series=(), iteration=None, sorts=None):
     """Deposit current of all species -> spectral (Jp, Jm, Jz).
 
     `antenna_series`: per-antenna precomputed surface currents, added
     onto the grid before the transform (reference: laser antennas
-    deposit via the normal J path, main.py:509-522)."""
+    deposit via the normal J path, main.py:509-522).
+    `sorts`: optional {species_index: column-sort plan} -> sorted dense
+    (MXU) deposition for those species."""
     JrJtJz = None
-    for sp, sc in zip(species, species_configs):
+    for i, (sp, sc) in enumerate(zip(species, species_configs)):
         if sc.is_tracer:
             continue
         w_eff = sp.w
         if sp.ionization_level is not None:
             w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
-        if sc.particle_shape == "cubic":
+        if sorts is not None and i in sorts:
+            contrib = deposit_J_sorted(
+                sorts[i], sp.x, sp.y, sp.z, w_eff, sc.q,
+                sp.ux, sp.uy, sp.uz, sp.inv_gamma, config.Nm,
+                1.0 / config.dz, zmin, config.Nz,
+                1.0 / config.dr, 0.0, config.Nr,
+                aux.ruyten_linear, zfold=_zfold(config))
+        elif sc.particle_shape == "cubic":
             contrib = deposit_J_cubic(
                 sp.x, sp.y, sp.z, w_eff, sc.q,
                 sp.ux, sp.uy, sp.uz, sp.inv_gamma, config.Nm,
@@ -613,10 +635,22 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 esp.next_free + n_new, esp.capacity).astype(jnp.int32)
             species[tgt] = dataclasses.replace(esp, **updates)
 
+        # --- Column sort for the dense (MXU) deposition path: built
+        # once per step after all particle creation, reused by the J
+        # and rho_next deposits (positions drift <= dz/2 from here).
+        sorts = {}
+        for i, sc in enumerate(species_configs):
+            if (sc.sort_K > 0 and sc.particle_shape == "linear"
+                    and not sc.is_tracer):
+                sorts[i] = build_column_sort(
+                    species[i].z, species[i].w, zmin, 1.0 / config.dz,
+                    config.Nz, sc.sort_K)
+        sorts = sorts or None
+
         # --- Current deposition at t = (n+1/2) dt
         Jp, Jm, Jz = deposit_J_spect(config, aux, species, species_configs,
                                      zmin, antenna_series=antenna_series,
-                                     iteration=state.iteration)
+                                     iteration=state.iteration, sorts=sorts)
         if options.filter_currents:
             Jp, Jm, Jz = ps.filter_vector(Jp, Jm, Jz, aux.filter_z,
                                           aux.filter_r)
@@ -633,7 +667,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
 
         # --- Charge deposition at t = (n+1) dt
         rho_next = deposit_rho_spect(config, aux, species, species_configs,
-                                     zmin)
+                                     zmin, sorts=sorts)
         if options.filter_currents:
             rho_next = ps.filter_scalar(rho_next, aux.filter_z, aux.filter_r)
         spect = dataclasses.replace(spect, rho_next=rho_next)

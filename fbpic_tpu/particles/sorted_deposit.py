@@ -1,0 +1,258 @@
+"""Sorted dense deposition: particles -> grid via batched MXU matmuls.
+
+The XLA TPU scatter is serialized per index (~13.7 ns/particle/pass),
+which makes the classic scatter-add deposition the dominant cost of the
+PIC step.  This module replaces it for large species with a
+sort-and-segment design that maps onto the MXU:
+
+1. Once per step (after all particle creation), particles are argsorted
+   by their z grid column; each column's slots are padded to a static
+   capacity K (``build_column_sort``).
+2. Each deposit gathers the padded particle data (gathers are ~10x
+   cheaper than scatters on TPU), computes all shape weights
+   (Ruyten-corrected radial corners, below-axis flips, azimuthal mode
+   phases, the z edge mask) as wide per-row channel vectors V, and
+   contracts them against a pure one-hot radial indicator matrix S:
+
+       out[col, ir, ch] = sum_k S[col, k, ir] * V[col, k, ch]
+
+   -- a batched (Nrb x K) @ (K x C) matmul, i.e. dense MXU work instead
+   of serialized scatter.
+3. Because particle positions drift by at most c*dt/2 = dz/2 between
+   the sort and each deposit, the true z cell differs from the sort
+   column by a small bounded offset; the offsets become extra channel
+   blocks in V and cheap shifted adds on the output grid.
+
+The result is bit-compatible in exact arithmetic with the scatter path
+(deposit.py) -- same shape factors, same folding, same edge masking --
+and is validated against it to roundoff in tests/test_sorted_deposit.py.
+
+MEASURED VERDICT (TPU v5e, 964k particles, 1116x50x2 grid): this path
+is SLOWER than the channel-packed scatter (deposit.py) and is therefore
+opt-in (SpeciesConfig.sort_K, default 0).  The numbers: argsort 964k =
+2.8 ms (cheap), but TPU gathers are per-index (~7.7 ns, channels free),
+so the padded-plan gathers (Nz*K = 1.6M rows, ~12.3 ms each) plus the
+batched one-hot einsum (8.6 ms at ~2 TF/s from 54x96 output tiles)
+total ~65 ms vs ~29 ms for the two scatter passes they replace.  The
+scatter's serialized 13.7 ns/index is within 2x of the gather cost, so
+no sort-based rearrangement can win on this chip; revisit on hardware
+with cheaper gathers or wider MXU tiles.
+
+Reference behavior being replaced: cell-sorted atomics on CUDA
+(/root/reference/fbpic/particles/deposition/cuda_methods.py) and
+per-thread buffer accumulation on CPU (threading_methods.py:28-455).
+"""
+import jax
+import jax.numpy as jnp
+
+from ..constants import c
+from ..utils.complex_arr import CArr
+from .gather import _cylindrical_projection
+from .deposit import (
+    NGUARD, _mode_phases, _channel_meta, _pack_channels, _unpack_channels,
+    _fold_guard_cells,
+)
+
+
+def build_column_sort(z, w, zmin, invdz, Nz, K):
+    """Argsort particles by z grid column and build a padded gather plan.
+
+    Includes every particle that could be in deposit range within the
+    next half push (half-cell slack), so the subsequent deposits apply
+    exactly the same edge mask as the scatter path.  Dead particles
+    (w == 0) go to a trash bucket and never enter the plan.
+
+    Returns dict(idx=(Nz, K) int32 particle indices, valid=(Nz, K) bool).
+    Columns holding more than K live particles silently drop the excess
+    -- K must be chosen with margin (Simulation sizes it at 2x the
+    initial maximum column occupancy).
+    """
+    Np = z.shape[0]
+    colf = invdz * (z - zmin)
+    z_cell = colf - 0.5
+    near = (z_cell >= -1.0) & (z_cell <= Nz) & (w != 0)
+    col = jnp.clip(jnp.floor(colf).astype(jnp.int32), 0, Nz - 1)
+    key = jnp.where(near, col, Nz)
+    perm = jnp.argsort(key)
+    keys_sorted = key[perm]
+    starts = jnp.searchsorted(keys_sorted,
+                              jnp.arange(Nz + 1, dtype=key.dtype))
+    pos = starts[:Nz, None] + jnp.arange(K, dtype=starts.dtype)[None, :]
+    valid = pos < starts[1:Nz + 1, None]
+    idx = perm[jnp.clip(pos, 0, Np - 1)]
+    return dict(idx=idx, valid=valid)
+
+
+def _padded_arrays(sort, arrays):
+    """Gather the (Np,) arrays into padded (Nz, K) form.
+
+    Stacked into ONE gather: the TPU gather cost is per-index with the
+    trailing channel axis riding free, so n separate gathers of the
+    same index set would cost n times as much."""
+    idx = sort["idx"]
+    stacked = jnp.stack(arrays, axis=1)[idx]        # (Nz, K, n)
+    return [stacked[..., i] for i in range(len(arrays))]
+
+
+def _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
+                     ruyten, mask_edges, delta_lo, delta_hi):
+    """Linear-shape geometry on the padded (Nz, K) layout.
+
+    Mirrors deposit._geometry exactly (same Ruyten rows, below-axis
+    flag, edge mask) but returns the z contribution as per-offset
+    weights zw[o] relative to the sort column instead of a scatter
+    index.
+    """
+    r, cos, sin = _cylindrical_projection(x, y)
+    rdt = x.dtype
+    K = x.shape[1]
+
+    r_cell = invdr * (r - rmin) - 0.5
+    z_cell = invdz * (z - zmin) - 0.5
+
+    iz_low = jnp.ceil(z_cell).astype(jnp.int32) - 1
+    sz1 = z_cell - iz_low.astype(rdt)
+    sz0 = 1.0 - sz1
+    if mask_edges:
+        ok = ((z_cell >= 0.0) & (z_cell <= Nz - 1.0)).astype(rdt)
+    else:
+        ok = jnp.ones_like(sz0)
+    ok = ok * sort["valid"].astype(rdt)
+    sz0 = sz0 * ok
+    sz1 = sz1 * ok
+
+    # Offset of the true z cell from the sort column, wrapped for the
+    # periodic case (a particle crossing the wrap between sort and
+    # deposit has iz_low - col = +-(Nz-1); the physical offset is small)
+    col = jnp.arange(Nz, dtype=jnp.int32)[:, None]
+    delta = jnp.mod(iz_low - col - delta_lo, Nz) + delta_lo
+    zw = [sz0 * (delta == o) + sz1 * (delta == o - 1)
+          for o in range(delta_lo, delta_hi + 2)]
+
+    ir_low = jnp.ceil(r_cell).astype(jnp.int32) - 1
+    u = r_cell - ir_low.astype(rdt)
+    bn_idx = jnp.clip(jnp.ceil(r_cell).astype(jnp.int32), 0, Nr)
+    base0 = 1.0 - u
+    corr = (1.0 - u) * u
+    sr0_m0 = base0 + ruyten[0][bn_idx] * corr
+    sr0_mh = base0 + ruyten[1][bn_idx] * corr
+    below_axis = ir_low < 0
+    ir_buf = jnp.minimum(ir_low + NGUARD, Nr + NGUARD)
+
+    return dict(cos=cos, sin=sin, below_axis=below_axis,
+                zw=zw, sr0_m0=sr0_m0, sr0_mh=sr0_mh, ir_buf=ir_buf)
+
+
+def _dense_deposit(geom, channel_vals, meta, Nz, Nr, zfold,
+                   delta_lo, delta_hi):
+    """Contract padded channels against the one-hot radial matrix.
+
+    channel_vals: (Nz, K, C).  Returns the folded (Nz, Nr, C) grid.
+    """
+    Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
+    C = channel_vals.shape[2]
+    rdt = channel_vals.dtype
+    n_off = delta_hi + 2 - delta_lo
+
+    # Per-channel lower radial corner (Ruyten row + below-axis flip),
+    # exactly as deposit._deposit_channels
+    mode0_mask = meta["is_mode0"]                      # (C,)
+    flips = meta["flip"]                               # (C,)
+    sr0 = jnp.where(mode0_mask[None, None, :],
+                    geom["sr0_m0"][:, :, None], geom["sr0_mh"][:, :, None])
+    sr1 = 1.0 - sr0
+    sr0 = jnp.where(geom["below_axis"][:, :, None],
+                    flips[None, None, :] * sr0, sr0)
+
+    # Wide channel matrix: (C, z-offset, r-corner) blocks
+    v = channel_vals
+    blocks = []
+    for zw in geom["zw"]:
+        zwv = v * zw[:, :, None]
+        blocks.append(zwv * sr0)
+        blocks.append(zwv * sr1)
+    V = jnp.concatenate(blocks, axis=2)                # (Nz, K, n_off*2*C)
+
+    S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=rdt)  # (Nz, K, Nrb)
+    out = jnp.einsum("bkr,bkc->brc", S, V,
+                     preferred_element_type=rdt)        # (Nz, Nrb, ...)
+    out = out.reshape(Nz, Nrb, n_off, 2, C)
+
+    # Reassemble: z offsets as shifted adds into the guard buffer,
+    # the upper radial corner shifted by +1 column
+    buf = jnp.zeros((Nzb, Nrb, C), dtype=rdt)
+    for i, o in enumerate(range(delta_lo, delta_hi + 2)):
+        lo = o + NGUARD
+        plane = out[:, :, i, 0, :]
+        plane = plane.at[:, 1:, :].add(out[:, :-1, i, 1, :])
+        if lo < 0:
+            buf = buf.at[:lo + Nz].add(plane[-lo:])
+        elif lo + Nz <= Nzb:
+            buf = buf.at[lo:lo + Nz].add(plane)
+        else:
+            buf = buf.at[lo:].add(plane[:Nzb - lo])
+    return _fold_guard_cells(buf, Nz, Nr, zfold)
+
+
+def deposit_rho_sorted(sort, x, y, z, w, q, Nm, invdz, zmin, Nz,
+                       invdr, rmin, Nr, ruyten_linear, zfold="periodic"):
+    """Sorted-dense counterpart of deposit.deposit_rho_linear.
+
+    `sort` was built at most half a push away from the deposit
+    positions, so z offsets span [-2, 2].
+    """
+    x, y, z, w = _padded_arrays(sort, [x, y, z, w])
+    geom = _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
+                            Nr, ruyten_linear,
+                            mask_edges=(zfold == "clamp"),
+                            delta_lo=-2, delta_hi=2)
+    cos_m, sin_m = _mode_phases(geom["cos"], geom["sin"], Nm)
+    wj = q * w
+    rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m]),
+                     jnp.stack([wj * sm for sm in sin_m]))
+    channels = _pack_padded([rho_modes], Nm)
+    meta = _channel_meta(Nm, 1, [+1.0], x.dtype)
+    out = _dense_deposit(geom, channels, meta, Nz, Nr, zfold,
+                         delta_lo=-2, delta_hi=2)
+    return _unpack_channels(out, 1, Nm)[0]
+
+
+def deposit_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
+                     invdz, zmin, Nz, invdr, rmin, Nr, ruyten_linear,
+                     zfold="periodic"):
+    """Sorted-dense counterpart of deposit.deposit_J_linear.
+
+    J is deposited at the sort positions themselves, so z offsets only
+    come from edge clipping: [-1, 1].
+    """
+    x, y, z, w, ux, uy, uz, inv_gamma = _padded_arrays(
+        sort, [x, y, z, w, ux, uy, uz, inv_gamma])
+    geom = _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
+                            Nr, ruyten_linear,
+                            mask_edges=(zfold == "clamp"),
+                            delta_lo=-1, delta_hi=1)
+    cos, sin = geom["cos"], geom["sin"]
+    cos_m, sin_m = _mode_phases(cos, sin, Nm)
+    wj = q * w
+    jr0 = wj * c * inv_gamma * (cos * ux + sin * uy)
+    jt0 = wj * c * inv_gamma * (cos * uy - sin * ux)
+    jz0 = wj * c * inv_gamma * uz
+    vals = [CArr(jnp.stack([j0 * cm for cm in cos_m]),
+                 jnp.stack([j0 * sm for sm in sin_m]))
+            for j0 in (jr0, jt0, jz0)]
+    channels = _pack_padded(vals, Nm)
+    meta = _channel_meta(Nm, 3, [-1.0, -1.0, +1.0], x.dtype)
+    out = _dense_deposit(geom, channels, meta, Nz, Nr, zfold,
+                         delta_lo=-1, delta_hi=1)
+    Jr, Jt, Jz = _unpack_channels(out, 3, Nm)
+    return Jr, Jt, Jz
+
+
+def _pack_padded(values, Nm):
+    """Pack per-component CArr (Nm, Nz, K) into (Nz, K, C) channels."""
+    cols = []
+    for val in values:
+        for m in range(Nm):
+            cols.append(val.re[m])
+            cols.append(val.im[m])
+    return jnp.stack(cols, axis=2)

@@ -34,6 +34,9 @@ class SpeciesConfig:
     ionizer: object = None
     # Compton scattering settings (a ComptonConfig, or None)
     compton: object = None
+    # Sorted dense deposition: static per-column slot capacity K
+    # (0 = use the scatter deposition path).  See sorted_deposit.py.
+    sort_K: int = 0
 
 
 @pytree_dataclass
