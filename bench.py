@@ -13,9 +13,12 @@ window shift, injection, damping).
 1.5 ns/particle/step -- the scale of CUDA FBPIC on a V100-class GPU for
 this workload (the reference publishes no absolute numbers, and it
 cannot run here: no numba, 1 CPU core -- see BASELINE.md).
->1.0 means faster than the target.  Measured r1: 118 ns/particle/step
-(68 ms/step, 576k particles) on one TPU v5e chip; the cost model is
-scatter-bound (~13.7 ns per particle-index per deposition pass).
+>1.0 means faster than the target.  Measured r1: 71 ns/particle/step
+(40.9 ms/step, 576k particles) on one TPU v5e chip.  The cost model is
+scatter-bound: the two deposition passes (J, rho_next) are serialized
+at ~13.7 ns/particle-index each (26.4 of 39.7 ms device time); all
+transforms, the PSATD push, the gather, the window and injection fit
+in the remaining ~13 ms.
 """
 import json
 import time

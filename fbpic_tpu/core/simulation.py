@@ -706,3 +706,38 @@ class Simulation:
         jax.block_until_ready(self.state)
         if progress is not None:
             progress.print_summary()
+        self._check_ring_overwrite()
+
+    def _check_ring_overwrite(self):
+        """Warn when continuous injection is about to overwrite LIVE
+        in-range particles (e.g. trapped/accelerated electrons that
+        stay with the moving window while their ring slot ages out).
+
+        The reference grows its particle arrays without bound
+        (particles/particles.py); here the arrays are fixed-capacity
+        rings sized for ~1.2 box crossings by default, so a long run
+        that traps charge needs a larger `capacity` in add_new_species.
+        """
+        if self.moving_win is None:
+            return
+        for i, cfg in enumerate(self._injector_configs):
+            if cfg is None or getattr(self, "_ring_warned", False):
+                continue
+            sp = self.state.species[i]
+            col = int(round(self.config.dz / cfg.dz_particles
+                            * self._injector_auxes[i].r.shape[0]))
+            look = min(8 * max(col, 1), sp.capacity)
+            idx = (np.asarray(sp.next_free)
+                   + np.arange(look)) % sp.capacity
+            w = np.asarray(sp.w[idx])
+            z = np.asarray(sp.z[idx])
+            z_lo = self.zmin + 0.5 * self.config.dz
+            n_live = int(((w != 0) & (z > z_lo)).sum())
+            if n_live:
+                warnings.warn(
+                    f"Species '{self.species_configs[i].name}': continuous "
+                    f"injection is about to overwrite {n_live} live "
+                    "particles (ring buffer full -- e.g. trapped charge "
+                    "that outlived one box crossing). Increase `capacity` "
+                    "in add_new_species to keep them.")
+                self._ring_warned = True

@@ -355,22 +355,42 @@ def shift_spectral_fields(config, aux, spect: SpectralFields, n_move):
 
 
 def damp_EB_z(config, aux, spect: SpectralFields, profile,
-              halo=None) -> SpectralFields:
+              halo=None, clean_rho_prev=False) -> SpectralFields:
     """E/B boundary handling in partial-interpolation space: replace
     guard cells from neighbors (multi-device), then apply the z profile
     (damping, mirrors).  One inverse/forward z-DFT round trip
-    (reference: main.py:719-768, exchange_and_damp_EB)."""
+    (reference: main.py:719-768, exchange_and_damp_EB).
+
+    clean_rho_prev (rho_prev reuse + moving window): the spectral
+    window shift is CIRCULAR, so charge at the left edge of rho_prev
+    wraps into the right guard cells -- where the true charge is zero
+    (plasma only exists up to the injection plane).  E/B get the same
+    wrap but are damped here every step; rho_prev must have its right
+    guard cells zeroed explicitly or the phantom (rho_next-rho_prev)/dt
+    at the injection plane pumps the correction currents into a slow
+    instability.  Riding the same transform round trip keeps it ~free.
+    """
     fields = [spect.Ep, spect.Em, spect.Ez, spect.Bp, spect.Bm, spect.Bz]
     names = ["Ep", "Em", "Ez", "Bp", "Bm", "Bz"]
     if config.use_pml:
         fields += [spect.Ep_pml, spect.Em_pml, spect.Bp_pml, spect.Bm_pml]
         names += ["Ep_pml", "Em_pml", "Bp_pml", "Bm_pml"]
+    n_eb = len(fields)
+    if clean_rho_prev:
+        fields.append(spect.rho_prev)
+        names.append("rho_prev")
     partial = tr.ifft_z_many(aux.mats, fields)
     if halo is not None:
-        partial = halo.exchange_replace(partial)
+        partial = (halo.exchange_replace(partial[:n_eb])
+                   + partial[n_eb:])
     if profile is not None:
         damp = profile[None, :, None]
-        partial = [f * damp for f in partial]
+        partial = [f * damp for f in partial[:n_eb]] + partial[n_eb:]
+    if clean_rho_prev:
+        rp = partial[-1]
+        keep = jnp.ones(config.Nz, dtype=rp.re.dtype)
+        keep = keep.at[config.Nz - config.n_guard:].set(0.0)
+        partial[-1] = rp * keep[None, :, None]
     back = tr.fft_z_many(aux.mats, partial)
     return dataclasses.replace(spect, **dict(zip(names, back)))
 
@@ -511,6 +531,11 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
 
     def step(state: SimState, aux: FieldAux, inj_auxes=(),
              ion_auxes=(), antenna_series=(), comp_auxes=()) -> SimState:
+        reuse_rho = (options.reuse_rho_prev
+                     and config.boundaries_z == "open"
+                     and options.moving_window_v is not None
+                     and config.current_correction != "cross-deposition"
+                     and halo is None)
         spect, interp = state.spect, state.interp
         species = list(state.species)
         zmin = state.zmin
@@ -529,10 +554,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             # reuse below stays exact.
             species = [remove_outside_particles(config, sp, zmin)
                        for sp in species]
-            reuse = (options.reuse_rho_prev
-                     and options.moving_window_v is not None
-                     and config.current_correction != "cross-deposition"
-                     and halo is None)
+            reuse = reuse_rho
             new_dicts = {}
             if options.moving_window_v is not None:
                 for i, (sp, sc) in enumerate(zip(species, species_configs)):
@@ -703,7 +725,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         #     one partial-space round trip covers all of them
         profile = _z_profile(config, options, aux, zmin, state.time)
         if profile is not None or halo is not None:
-            spect = damp_EB_z(config, aux, spect, profile, halo=halo)
+            spect = damp_EB_z(config, aux, spect, profile, halo=halo,
+                              clean_rho_prev=reuse_rho)
 
         # --- Radial PML: damp the split fields in full interp space,
         #     then refresh spectral space (reference: main.py:719-768)

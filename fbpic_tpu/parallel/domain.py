@@ -254,7 +254,7 @@ def make_multichip_step(config_local: GridConfig, species_configs,
 
         sharded = shard_map(
             body, mesh=mesh, in_specs=(specs, aux_specs),
-            out_specs=specs, check_rep=False)
+            out_specs=specs, check_vma=False)
         return sharded(state, aux)
 
     return multi_step
