@@ -230,6 +230,20 @@ class Simulation:
         self.Nz_phys = Nz
         self.nd_edge = nd
 
+        # Period of particle removal / injection / fresh rho_prev
+        # deposits.  Sized so particles cannot cross half the guard
+        # region between exchanges (reference:
+        # boundary_communicator.py:280-304, incl. the factor-2 safety
+        # for moving-window / Galilean runs).
+        if exchange_period is None:
+            if boundaries_z == "open":
+                cells_per_step = 2.0 * c * dt / dz
+                exchange_period = max(
+                    1, int((n_guard_ / 2 - 3) / cells_per_step))
+            else:
+                exchange_period = 1
+        self.exchange_period = max(1, int(exchange_period))
+
         self.config = GridConfig(
             Nz=Nz_total, Nr=Nr, Nm=Nm,
             dz=dz, dr=rmax / Nr, rmax=rmax, dt=dt,
@@ -263,6 +277,12 @@ class Simulation:
         )
 
         self._rng = np.random.RandomState(random_seed)
+        # Device-side PRNG root: derived from random_seed so that
+        # in-jit draws (injection noise, ionization, Compton) are
+        # reproducible per seed and differ between seeds.
+        _seed_rs = np.random.RandomState(
+            None if random_seed is None else random_seed + 987654321)
+        self._device_seed = int(_seed_rs.randint(0, 2**31 - 1))
 
         # Initial (empty) state.  NOTE: scalars use explicit (strong)
         # dtypes -- weak-typed scalars would change aval on the first
@@ -277,6 +297,7 @@ class Simulation:
             zmin=jnp.asarray(float(zmin_total), dtype=rdt),
             iteration=jnp.asarray(0, dtype=jnp.int32),
             mw_zref=jnp.asarray(float(zmin_total), dtype=rdt),
+            seed=jnp.asarray(self._device_seed, dtype=jnp.uint32),
         )
         self.species_configs = []
         self._species_counts = []
@@ -406,11 +427,17 @@ class Simulation:
                     from ..particles.state import _check_dens_func_arguments
                     dens_args = ("xyz" if _check_dens_func_arguments(
                         dens_func) == ["x", "y", "z"] else "zr")
+                # Columns accumulated over one exchange period (window
+                # moves <= c dt per step), plus margin
+                max_cols = int(np.ceil(
+                    self.exchange_period * (c * self.config.dt
+                                            / self.config.dz) * p_nz)) + 4
                 injector_cfg = InjectorConfig(
                     dz_particles=dz_particles, n=n,
                     ux_m=ux_m, uy_m=uy_m, uz_m=uz_m,
                     ux_th=ux_th, uy_th=uy_th, uz_th=uz_th,
-                    dens_func=dens_func, dens_args=dens_args or "zr")
+                    dens_func=dens_func, dens_args=dens_args or "zr",
+                    max_inject_cols=max_cols)
                 injector_aux = build_injector_aux(
                     Npr, p_rmin_, p_rmax_, p_nt, injector_cfg,
                     rng=self._rng)
@@ -632,6 +659,16 @@ class Simulation:
              use_true_rho=False, move_positions=True, move_momenta=True,
              show_progress=False, reuse_rho_prev=True):
         """Perform N PIC cycles."""
+        from ..utils.device import catch_memory_error
+        return catch_memory_error(self._step_impl)(
+            N, correct_currents=correct_currents, correct_divE=correct_divE,
+            use_true_rho=use_true_rho, move_positions=move_positions,
+            move_momenta=move_momenta, show_progress=show_progress,
+            reuse_rho_prev=reuse_rho_prev)
+
+    def _step_impl(self, N=1, correct_currents=True, correct_divE=False,
+                   use_true_rho=False, move_positions=True, move_momenta=True,
+                   show_progress=False, reuse_rho_prev=True):
         mw_v = self.moving_win
         injectors = ()
         inj_auxes = ()
@@ -651,6 +688,7 @@ class Simulation:
             external_fields=tuple(self.external_fields),
             mirrors=tuple(self.mirrors),
             n_antennas=len(self.laser_antennas),
+            exchange_period=self.exchange_period,
             reuse_rho_prev=reuse_rho_prev,
         )
         step_fn, prepare_fn = self._get_step_fn(options)
@@ -731,7 +769,7 @@ class Simulation:
                    + np.arange(look)) % sp.capacity
             w = np.asarray(sp.w[idx])
             z = np.asarray(sp.z[idx])
-            z_lo = self.zmin + 0.5 * self.config.dz
+            z_lo = self.zmin + self.config.n_guard * self.config.dz
             n_live = int(((w != 0) & (z > z_lo)).sum())
             if n_live:
                 warnings.warn(

@@ -25,3 +25,7 @@ class SimState:
     iteration: jax.Array   # int32 scalar
     # Continuous moving-window reference position (None = no window)
     mw_zref: jax.Array = None
+    # Root seed for device-side randomness (injection, ionization,
+    # Compton draws); uint32 scalar.  None falls back to stream 0 --
+    # kept optional for states built by external code.
+    seed: jax.Array = None

@@ -55,12 +55,16 @@ class StepOptions:
     n_antennas: int = 0
     # Mirror objects (zero E/B in thin z-slabs each step)
     mirrors: tuple = ()
-    # Reuse the previous step's rho_next as rho_prev in moving-window
-    # runs (plus an exact delta for the newly injected columns) instead
-    # of re-depositing the full particle set -- saves one full-capacity
-    # scatter per step.  Exactness relies on the deposit edge mask
-    # (deposit.py::_geometry mask_edges): removal only ever kills
-    # particles whose previous rho_next contribution was already zero.
+    # Particle removal / continuous injection / fresh rho_prev deposit
+    # happen every `exchange_period` steps (reference: main.py:435-449,
+    # boundary_communicator.py:280-304); between exchanges rho_prev is
+    # the (window-shifted) previous rho_next -- exact because the
+    # particle set is frozen between exchanges and the removal margin
+    # keeps the array edges charge-free, so the circular spectral shift
+    # only wraps empty cells.
+    exchange_period: int = 1
+    # Legacy switch: False forces exchange_period = 1 (fresh rho_prev
+    # deposit every step).
     reuse_rho_prev: bool = True
 
 
@@ -70,6 +74,26 @@ class StepOptions:
 
 def _zfold(config: GridConfig):
     return "periodic" if config.boundaries_z == "periodic" else "clamp"
+
+
+# Stream ids for device-side randomness (distinct per purpose; the
+# species index and iteration are folded in on top).
+_STREAM_INJECT = 0
+_STREAM_COMPTON = 1
+_STREAM_IONIZE = 2
+
+
+def _stream_key(state, stream, species_index):
+    """Per-(purpose, species, iteration) PRNG key derived from the
+    user's random_seed (reference: utils/random_seed.py seeds all
+    randomness; here the seed rides in SimState so two runs with
+    different seeds draw different device-side noise)."""
+    seed = state.seed
+    if seed is None:
+        seed = jnp.uint32(0)
+    root = jax.random.PRNGKey(seed)
+    key = jax.random.fold_in(root, stream * 4096 + species_index)
+    return jax.random.fold_in(key, state.iteration)
 
 
 def deposit_rho_spect(config, aux, species, species_configs, zmin,
@@ -355,42 +379,23 @@ def shift_spectral_fields(config, aux, spect: SpectralFields, n_move):
 
 
 def damp_EB_z(config, aux, spect: SpectralFields, profile,
-              halo=None, clean_rho_prev=False) -> SpectralFields:
+              halo=None) -> SpectralFields:
     """E/B boundary handling in partial-interpolation space: replace
     guard cells from neighbors (multi-device), then apply the z profile
     (damping, mirrors).  One inverse/forward z-DFT round trip
     (reference: main.py:719-768, exchange_and_damp_EB).
-
-    clean_rho_prev (rho_prev reuse + moving window): the spectral
-    window shift is CIRCULAR, so charge at the left edge of rho_prev
-    wraps into the right guard cells -- where the true charge is zero
-    (plasma only exists up to the injection plane).  E/B get the same
-    wrap but are damped here every step; rho_prev must have its right
-    guard cells zeroed explicitly or the phantom (rho_next-rho_prev)/dt
-    at the injection plane pumps the correction currents into a slow
-    instability.  Riding the same transform round trip keeps it ~free.
     """
     fields = [spect.Ep, spect.Em, spect.Ez, spect.Bp, spect.Bm, spect.Bz]
     names = ["Ep", "Em", "Ez", "Bp", "Bm", "Bz"]
     if config.use_pml:
         fields += [spect.Ep_pml, spect.Em_pml, spect.Bp_pml, spect.Bm_pml]
         names += ["Ep_pml", "Em_pml", "Bp_pml", "Bm_pml"]
-    n_eb = len(fields)
-    if clean_rho_prev:
-        fields.append(spect.rho_prev)
-        names.append("rho_prev")
     partial = tr.ifft_z_many(aux.mats, fields)
     if halo is not None:
-        partial = (halo.exchange_replace(partial[:n_eb])
-                   + partial[n_eb:])
+        partial = halo.exchange_replace(partial)
     if profile is not None:
         damp = profile[None, :, None]
-        partial = [f * damp for f in partial[:n_eb]] + partial[n_eb:]
-    if clean_rho_prev:
-        rp = partial[-1]
-        keep = jnp.ones(config.Nz, dtype=rp.re.dtype)
-        keep = keep.at[config.Nz - config.n_guard:].set(0.0)
-        partial[-1] = rp * keep[None, :, None]
+        partial = [f * damp for f in partial]
     back = tr.fft_z_many(aux.mats, partial)
     return dataclasses.replace(spect, **dict(zip(names, back)))
 
@@ -415,37 +420,20 @@ def _z_profile(config, options, aux, zmin, time):
     return profile
 
 
-def _deposit_new_columns_rho(config, aux, new_dicts, species_configs, zmin):
-    """Spectral rho of freshly injected plasma columns only.
-
-    new_dicts: {species_index: dict of (n_template,) arrays} as returned
-    by continuous_injection (w already masked to the columns actually
-    injected).  The scatter is tiny (<= MAX_INJECT_COLS columns)."""
-    import types
-    species, configs = [], []
-    for i, new in new_dicts.items():
-        sc = species_configs[i]
-        lvl = None
-        if sc.ionizable and sc.ionizer is not None:
-            lvl = jnp.full(new["x"].shape[0], sc.ionizer.level_start,
-                           dtype=jnp.int32)
-        species.append(types.SimpleNamespace(
-            x=new["x"], y=new["y"], z=new["z"], w=new["w"],
-            ionization_level=lvl))
-        configs.append(sc)
-    return deposit_rho_spect(config, aux, species, configs, zmin)
-
-
 def remove_outside_particles(config, sp, zmin):
-    """Mark particles outside the grid as dead (w = 0) and park them.
+    """Mark particles that reached the guard cells as dead (w = 0) and
+    park them at the box center.
 
-    Open-z analog of the reference's particle removal
-    (particle_buffer_handling.py:17-178); with no neighbor domains the
-    buffers are simply dropped.
+    Matches the reference's removal bounds
+    (particle_buffer_handling.py:89-92: zbox_min = zmin + n_guard*dz);
+    the margin between this threshold and the array edge is what keeps
+    the edges charge-free between exchanges, so the circular moving-
+    window shift of rho_prev only wraps empty cells.
     """
     Lz = config.Nz * config.dz
-    z_lo = zmin + 0.5 * config.dz
-    z_hi = zmin + Lz - 0.5 * config.dz
+    ng = max(config.n_guard, 1)
+    z_lo = zmin + ng * config.dz
+    z_hi = zmin + Lz - ng * config.dz
     dead = (sp.z < z_lo) | (sp.z > z_hi)
     z_park = zmin + 0.5 * Lz
     return dataclasses.replace(
@@ -456,14 +444,13 @@ def remove_outside_particles(config, sp, zmin):
 
 
 def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
-                         zmin, iteration):
+                         zmin, key):
     """Inject new plasma columns at the right edge (ring buffer write).
 
-    Returns (sp_new, new_particles_dict) -- the latter is used to add
-    the new charge to rho_prev.
+    Returns the updated species state.  Called every exchange_period
+    steps; injects all columns accumulated since the last exchange.
     """
-    from ..particles.injection import generate_columns, write_ring, \
-        MAX_INJECT_COLS
+    from ..particles.injection import generate_columns, write_ring
 
     rdt = sp.z.dtype
     v_mw = options.moving_window_v
@@ -477,9 +464,8 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     n_cols = jnp.clip(
         jnp.floor((z_inject - sp.inj_z_end) / inj_cfg.dz_particles
                   ).astype(jnp.int32),
-        0, MAX_INJECT_COLS)
+        0, inj_cfg.max_inject_cols)
 
-    key = jax.random.fold_in(jax.random.PRNGKey(0), iteration)
     new, new_z_end = generate_columns(inj_cfg, inj_aux, sp.inj_z_end,
                                       n_cols, key, rdt)
 
@@ -508,11 +494,7 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     updates["next_free"] = jnp.mod(
         sp.next_free + n_cols * col_size, cap).astype(sp.next_free.dtype)
     updates["inj_z_end"] = new_z_end
-    # Mask the unused template slots so the dict can be deposited
-    # directly (rho_prev injection delta)
-    new = dict(new)
-    new["w"] = jnp.where(mask, new["w"], jnp.zeros_like(new["w"]))
-    return dataclasses.replace(sp, **updates), new
+    return dataclasses.replace(sp, **updates)
 
 
 # ---------------------------------------------------------------------
@@ -531,61 +513,58 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
 
     def step(state: SimState, aux: FieldAux, inj_auxes=(),
              ion_auxes=(), antenna_series=(), comp_auxes=()) -> SimState:
-        reuse_rho = (options.reuse_rho_prev
-                     and config.boundaries_z == "open"
-                     and options.moving_window_v is not None
-                     and config.current_correction != "cross-deposition"
-                     and halo is None)
+        exchange_period = (options.exchange_period
+                           if (options.reuse_rho_prev
+                               and config.current_correction
+                               != "cross-deposition"
+                               and halo is None)
+                           else 1)
         spect, interp = state.spect, state.interp
         species = list(state.species)
         zmin = state.zmin
         mw_zref = state.mw_zref
         dt = config.dt
 
-        # --- Open boundaries: remove out-of-grid particles; inject new
-        #     plasma columns for the moving window (ring-buffer write),
-        #     then re-deposit rho_prev so the current correction sees a
-        #     consistent charge history (reference: main.py:435-449
-        #     re-deposits rho_prev after every particle exchange)
+        # --- Open boundaries: every exchange_period steps, remove the
+        #     particles that reached the guard cells, inject the plasma
+        #     columns accumulated by the moving window, and re-deposit
+        #     rho_prev from scratch (reference: main.py:435-449).  On
+        #     other steps rho_prev is the window-shifted previous
+        #     rho_next, which is exact because the particle set is
+        #     frozen and the removal margin keeps the array edges
+        #     charge-free (the circular shift only wraps empty cells).
         if config.boundaries_z == "open":
-            # Removal is exactly consistent with the deposit edge mask:
-            # any particle killed here contributed ZERO to the previous
-            # rho_next (same position, same threshold), so rho_prev
-            # reuse below stays exact.
-            species = [remove_outside_particles(config, sp, zmin)
-                       for sp in species]
-            reuse = reuse_rho
-            new_dicts = {}
-            if options.moving_window_v is not None:
-                for i, (sp, sc) in enumerate(zip(species, species_configs)):
-                    inj_cfg = (options.injectors[i]
-                               if options.injectors else None)
-                    if inj_cfg is None:
-                        continue
-                    sp, _new = continuous_injection(
-                        config, options, aux, sp, sc, inj_cfg, inj_auxes[i],
-                        zmin, state.iteration)
-                    species[i] = sp
-                    new_dicts[i] = _new
-            if reuse:
-                # rho_prev already equals shift(previous rho_next)
-                # (push_fields + shift_spectral_fields); add the charge
-                # of the freshly injected columns (a tiny deposit).
-                if new_dicts:
-                    delta = _deposit_new_columns_rho(
-                        config, aux, new_dicts, species_configs, zmin)
-                    if options.filter_currents:
-                        delta = ps.filter_scalar(delta, aux.filter_z,
-                                                 aux.filter_r)
-                    spect = dataclasses.replace(
-                        spect, rho_prev=spect.rho_prev + delta)
-            else:
+            def _exchange(operands):
+                species, _rho_prev = operands
+                species = [remove_outside_particles(config, sp, zmin)
+                           for sp in species]
+                if options.moving_window_v is not None:
+                    for i, (sp, sc) in enumerate(
+                            zip(species, species_configs)):
+                        inj_cfg = (options.injectors[i]
+                                   if options.injectors else None)
+                        if inj_cfg is None:
+                            continue
+                        species[i] = continuous_injection(
+                            config, options, aux, sp, sc, inj_cfg,
+                            inj_auxes[i], zmin,
+                            _stream_key(state, _STREAM_INJECT, i))
                 rho_prev = deposit_rho_spect(config, aux, species,
                                              species_configs, zmin)
                 if options.filter_currents:
                     rho_prev = ps.filter_scalar(rho_prev, aux.filter_z,
                                                 aux.filter_r)
-                spect = dataclasses.replace(spect, rho_prev=rho_prev)
+                return tuple(species), rho_prev
+
+            operands = (tuple(species), spect.rho_prev)
+            if exchange_period <= 1:
+                species, rho_prev = _exchange(operands)
+            else:
+                do_ex = (state.iteration % exchange_period) == 0
+                species, rho_prev = jax.lax.cond(
+                    do_ex, _exchange, lambda ops: ops, operands)
+            species = list(species)
+            spect = dataclasses.replace(spect, rho_prev=rho_prev)
 
         # --- Gather + momentum push + first half position push
         gathered_EB = {}
@@ -605,8 +584,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 continue
             from ..particles.compton import handle_compton
             from ..particles.injection import write_ring
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(1313 + i), state.iteration)
+            key = _stream_key(state, _STREAM_COMPTON, i)
             sp_new, new_ph = handle_compton(
                 species[i], sc.compton, comp_auxes[i], dt,
                 state.time + 0.5 * dt, key)
@@ -632,8 +610,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 continue
             from ..particles.ionization import ionize
             from ..particles.injection import write_ring
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(17 + i), state.iteration)
+            key = _stream_key(state, _STREAM_IONIZE, i)
             sp_new, new_elec = ionize(species[i], *gathered_EB[i],
                                       sc.ionizer, ion_auxes[i], key)
             species[i] = sp_new
@@ -725,8 +702,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         #     one partial-space round trip covers all of them
         profile = _z_profile(config, options, aux, zmin, state.time)
         if profile is not None or halo is not None:
-            spect = damp_EB_z(config, aux, spect, profile, halo=halo,
-                              clean_rho_prev=reuse_rho)
+            spect = damp_EB_z(config, aux, spect, profile, halo=halo)
 
         # --- Radial PML: damp the split fields in full interp space,
         #     then refresh spectral space (reference: main.py:719-768)
@@ -747,6 +723,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             zmin=zmin,
             iteration=state.iteration + 1,
             mw_zref=mw_zref,
+            seed=state.seed,
         )
 
     return step

@@ -16,6 +16,8 @@ Transform composition (reference: spectral_transformer.py:89-223):
   vector  interp->spect : DFT both, (r,t)->(p,m), p @ Mp, m @ Mm
   vector  spect->interp : p @ invMp, m @ invMm, (p,m)->(r,t), IDFT both
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -24,6 +26,18 @@ from ..utils.pytree import pytree_dataclass
 from ..utils.dtypes import real_dtype
 from ..utils.complex_arr import CArr
 from .hankel import build_mode_matrices
+
+# Spectral transforms need true-f32 matmuls: the TPU MXU's default
+# bf16 multiplies (~4e-3 relative) inject mode-0 noise that the 1/k^2
+# current correction amplifies into O(1e7 V/m) spurious fields
+# (measured on v5e; see tests/test_linear_wakefield.py).  'highest' is
+# f32-exact on TPU (6-pass); set FBPIC_TPU_MATMUL_PRECISION=high to
+# trade ~1e-6 relative accuracy for ~2x faster transforms.
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("FBPIC_TPU_MATMUL_PRECISION", "highest").lower()]
 
 
 def dft_matrices(Nz):
@@ -82,8 +96,10 @@ def dht(M: jax.Array, F: CArr) -> CArr:
     """
     pe = M.dtype
     return CArr(
-        jnp.einsum("mzr,mrs->mzs", F.re, M, preferred_element_type=pe),
-        jnp.einsum("mzr,mrs->mzs", F.im, M, preferred_element_type=pe),
+        jnp.einsum("mzr,mrs->mzs", F.re, M, preferred_element_type=pe,
+                   precision=_PRECISION),
+        jnp.einsum("mzr,mrs->mzs", F.im, M, preferred_element_type=pe,
+                   precision=_PRECISION),
     )
 
 
@@ -91,7 +107,8 @@ def _zmatmul(Wre, Wim, F: CArr) -> CArr:
     """Apply a complex (Nz, Nz) matrix along the z axis of F (Nm, Nz, Nr)."""
     pe = Wre.dtype
     ein = lambda W, X: jnp.einsum("uz,mzr->mur", W, X,
-                                  preferred_element_type=pe)
+                                  preferred_element_type=pe,
+                   precision=_PRECISION)
     return CArr(
         ein(Wre, F.re) - ein(Wim, F.im),
         ein(Wre, F.im) + ein(Wim, F.re),
@@ -172,8 +189,10 @@ def _zmatmul_many(Wre, Wim, fields):
     Nm, Nz, Nr = fields[0].shape
     pe = Wre.dtype
     Q = jnp.concatenate([x for F in fields for x in (F.re, F.im)], axis=-1)
-    A = jnp.einsum("uz,mzq->muq", Wre, Q, preferred_element_type=pe)
-    B = jnp.einsum("uz,mzq->muq", Wim, Q, preferred_element_type=pe)
+    A = jnp.einsum("uz,mzq->muq", Wre, Q, preferred_element_type=pe,
+                   precision=_PRECISION)
+    B = jnp.einsum("uz,mzq->muq", Wim, Q, preferred_element_type=pe,
+                   precision=_PRECISION)
     out = []
     for i in range(n):
         re_sl = slice((2 * i) * Nr, (2 * i + 1) * Nr)
@@ -202,8 +221,10 @@ def _dht_many(M_list, fields):
     Fre = jnp.concatenate([F.re for F in fields], axis=0)
     Fim = jnp.concatenate([F.im for F in fields], axis=0)
     pe = M.dtype
-    Re = jnp.einsum("bzr,brs->bzs", Fre, M, preferred_element_type=pe)
-    Im = jnp.einsum("bzr,brs->bzs", Fim, M, preferred_element_type=pe)
+    Re = jnp.einsum("bzr,brs->bzs", Fre, M, preferred_element_type=pe,
+                   precision=_PRECISION)
+    Im = jnp.einsum("bzr,brs->bzs", Fim, M, preferred_element_type=pe,
+                   precision=_PRECISION)
     Nm = fields[0].shape[0]
     return [CArr(Re[i * Nm:(i + 1) * Nm], Im[i * Nm:(i + 1) * Nm])
             for i in range(len(fields))]

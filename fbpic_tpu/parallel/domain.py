@@ -305,4 +305,5 @@ def build_multichip_state(config_global: GridConfig, config_local,
         zmin=jnp.asarray(float(zmin_global), rdt),
         iteration=jnp.asarray(0, jnp.int32),
         mw_zref=jnp.asarray(float(zmin_global), rdt),
+        seed=jnp.asarray(0, jnp.uint32),
     )

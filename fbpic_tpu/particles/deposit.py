@@ -68,18 +68,12 @@ def _fold_guard_cells(buf, Nz, Nr, zfold="periodic"):
     return out
 
 
-def _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten,
-              mask_edges=False):
+def _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten):
     """Linear-shape geometry: corner indices, weights, angles.
 
     Returns a dict with per-particle quantities; radial lower-corner
     weights are per mode-row (mode 0 vs higher) with the Ruyten
     correction, plus the below-axis flag used for sign flips.
-
-    mask_edges (open boundaries): particles outside [z_lo, z_hi] (the
-    exact thresholds used by remove_outside_particles) deposit ZERO --
-    this makes removal a no-op for rho, which lets the step reuse the
-    previous rho_next as rho_prev instead of re-depositing it.
     """
     r, cos, sin = _cylindrical_projection(x, y)
     rdt = x.dtype
@@ -90,10 +84,6 @@ def _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten,
     iz_low = jnp.ceil(z_cell).astype(jnp.int32) - 1
     sz1 = z_cell - iz_low.astype(rdt)
     sz0 = 1.0 - sz1
-    if mask_edges:
-        valid = ((z_cell >= 0.0) & (z_cell <= Nz - 1.0)).astype(rdt)
-        sz0 = sz0 * valid
-        sz1 = sz1 * valid
 
     ir_low = jnp.ceil(r_cell).astype(jnp.int32) - 1
     u = r_cell - ir_low.astype(rdt)
@@ -106,7 +96,9 @@ def _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten,
     below_axis = ir_low < 0
 
     Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
-    iz_buf = iz_low + NGUARD
+    # Clip stragglers (particles beyond the removal margin) into the
+    # guard rows instead of letting negative indices wrap circularly.
+    iz_buf = jnp.clip(iz_low + NGUARD, 0, Nz + NGUARD)
     ir_buf = jnp.minimum(ir_low + NGUARD, Nr + NGUARD)
     idx00 = iz_buf * Nrb + ir_buf
 
@@ -154,11 +146,7 @@ def _deposit_channels(geom, channel_vals, flip_parities, Nm, Nzb, Nrb,
     # shifted adds on the grid is ~4x cheaper than scattering 4 corners.
     vals = jnp.concatenate([v00, v01, v10, v11], axis=1)   # (Np, 4C)
     C = channel_vals.shape[1]
-    import os as _os
-    if _os.environ.get("_FBPIC_TPU_SKIP_SCATTER"):
-        buf = jnp.zeros((Nzb * Nrb, 4 * C), dtype=v.dtype) + vals.sum() * 0
-    else:
-        buf = jnp.zeros((Nzb * Nrb, 4 * C), dtype=v.dtype).at[idx00].add(vals)
+    buf = jnp.zeros((Nzb * Nrb, 4 * C), dtype=v.dtype).at[idx00].add(vals)
     buf = buf.reshape(Nzb, Nrb, 4, C)
 
     out = buf[:, :, 0, :]
@@ -220,7 +208,7 @@ def deposit_rho_linear(x, y, z, w, q, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
     Returns CArr (Nm, Nz, Nr).
     """
     geom = _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                     ruyten_linear, mask_edges=(zfold == "clamp"))
+                     ruyten_linear)
     cos_m, sin_m = _mode_phases(geom["cos"], geom["sin"], Nm)
     wj = q * w
     rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m]),
@@ -237,7 +225,7 @@ def deposit_J_linear(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
                      zfold="periodic"):
     """Deposit current density; returns (Jr, Jt, Jz) CArr (Nm, Nz, Nr)."""
     geom = _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                     ruyten_linear, mask_edges=(zfold == "clamp"))
+                     ruyten_linear)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w
@@ -279,10 +267,8 @@ def _cubic_axis_weights(cell_pos):
     return i_low, u, (s0, s1, s2, s3)
 
 
-def _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten_cubic,
-                    mask_edges=False):
-    """Cubic-shape geometry: 4x4 footprint weights and base index.
-    mask_edges: see _geometry."""
+def _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten_cubic):
+    """Cubic-shape geometry: 4x4 footprint weights and base index."""
     r, cos, sin = _cylindrical_projection(x, y)
     rdt = x.dtype
 
@@ -291,9 +277,6 @@ def _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten_cubic,
 
     iz_low, _, sz = _cubic_axis_weights(z_cell)
     ir_low, u, sr_plain = _cubic_axis_weights(r_cell)
-    if mask_edges:
-        valid = ((z_cell >= 0.0) & (z_cell <= Nz - 1.0)).astype(rdt)
-        sz = tuple(s * valid for s in sz)
 
     # Ruyten correction on the two central points (+bn on s1, -bn on s2)
     bn_idx = jnp.clip(jnp.ceil(r_cell).astype(jnp.int32), 0, Nr)
@@ -305,7 +288,7 @@ def _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten_cubic,
     sr_mh = (sr_plain[0], sr_plain[1] + bnh, sr_plain[2] - bnh, sr_plain[3])
 
     Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
-    iz_buf = iz_low + NGUARD
+    iz_buf = jnp.clip(iz_low + NGUARD, 0, Nz + NGUARD - 2)
     ir_buf = jnp.minimum(ir_low + NGUARD, Nr)   # footprint cols <= Nr+3
     idx00 = iz_buf * Nrb + ir_buf
 
@@ -357,7 +340,7 @@ def deposit_rho_cubic(x, y, z, w, q, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
                       ruyten_cubic, zfold="periodic"):
     """Deposit charge density with cubic shapes; returns CArr (Nm,Nz,Nr)."""
     geom = _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                           ruyten_cubic, mask_edges=(zfold == "clamp"))
+                           ruyten_cubic)
     cos_m, sin_m = _mode_phases(geom["cos"], geom["sin"], Nm)
     wj = q * w
     vals = [CArr(jnp.stack([wj * cm for cm in cos_m]),
@@ -374,7 +357,7 @@ def deposit_J_cubic(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
                     zfold="periodic"):
     """Deposit current density with cubic shapes."""
     geom = _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                           ruyten_cubic, mask_edges=(zfold == "clamp"))
+                           ruyten_cubic)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w
@@ -402,7 +385,7 @@ def deposit_rho_J_linear(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
     and current are sampled at the same particle positions.
     """
     geom = _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                     ruyten_linear, mask_edges=(zfold == "clamp"))
+                     ruyten_linear)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w

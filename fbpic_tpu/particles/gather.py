@@ -128,7 +128,8 @@ def gather_fields_linear(
         [jnp.stack(pr_list, axis=-1) * mode_w,
          -jnp.stack(pi_list, axis=-1) * mode_w], axis=-1)   # (Np, Nm, 2)
     Fm4 = Fm.reshape(Fm.shape[0], 6, Nm, 2)
-    out = jnp.einsum("pcmt,pmt->pc", Fm4, W)                 # (Np, 6)
+    out = jnp.einsum("pcmt,pmt->pc", Fm4, W,
+                     precision=jax.lax.Precision.HIGHEST)                 # (Np, 6)
 
     in_range = (r < rmax_gather).astype(rdt)
     out = out * in_range[:, None]
@@ -215,7 +216,8 @@ def gather_fields_cubic(
         [jnp.stack(pr_list, axis=-1) * mode_w,
          -jnp.stack(pi_list, axis=-1) * mode_w], axis=-1)
     Fm4 = Fm.reshape(Fm.shape[0], 6, Nm, 2)
-    out = jnp.einsum("pcmt,pmt->pc", Fm4, W)
+    out = jnp.einsum("pcmt,pmt->pc", Fm4, W,
+                     precision=jax.lax.Precision.HIGHEST)
 
     in_range = (r < rmax_gather).astype(rdt)
     out = out * in_range[:, None]

@@ -8,8 +8,10 @@ moving window kills particles leaving the left edge (w = 0) and the
 injector writes new columns over the oldest slots with
 `lax.dynamic_update_slice` -- all inside the jit step.
 
-Up to MAX_INJECT_COLS columns can be injected per step (one column per
-step suffices for v <= c moving windows with dz_particles >= dz/2).
+Injection happens every `exchange_period` steps (reference:
+boundary_communicator.py:710-810 generates particles at exchange time);
+`max_inject_cols` bounds the columns injected at once and must cover one
+full period of window motion.
 """
 from typing import Optional
 
@@ -20,6 +22,8 @@ import jax.numpy as jnp
 from ..utils.pytree import pytree_dataclass, static_dataclass
 from ..utils.dtypes import real_dtype
 
+# Backward-compatible default bound (overridden per species via
+# InjectorConfig.max_inject_cols)
 MAX_INJECT_COLS = 4
 
 
@@ -36,6 +40,9 @@ class InjectorConfig:
     uz_th: float = 0.0
     dens_func: object = None     # jnp-traceable callable (z, r) or (x,y,z)
     dens_args: str = "zr"        # 'zr' or 'xyz'
+    # Max columns injected in one exchange (>= exchange_period * p_nz
+    # * cells-moved-per-step, plus margin)
+    max_inject_cols: int = MAX_INJECT_COLS
 
     @property
     def v_end_plasma(self):
@@ -78,22 +85,23 @@ def build_injector_aux(Npr, rmin, rmax, Nptheta, injector: InjectorConfig,
 
 def generate_columns(inj_cfg: InjectorConfig, inj_aux: InjectorAux,
                      z_end, n_cols, key, dtype):
-    """Generate MAX_INJECT_COLS candidate columns starting at z_end.
+    """Generate max_inject_cols candidate columns starting at z_end.
 
     Columns with index >= n_cols get zero weight.  Returns dict of
-    (MAX_INJECT_COLS * col_size,) arrays + the new z_end.
+    (max_inject_cols * col_size,) arrays + the new z_end.
     """
     col_size = inj_aux.r.shape[0]
     dz_p = inj_cfg.dz_particles
+    max_cols = inj_cfg.max_inject_cols
 
-    cols_idx = jnp.arange(MAX_INJECT_COLS)
-    active = (cols_idx < n_cols).astype(dtype)          # (MAX_COLS,)
+    cols_idx = jnp.arange(max_cols)
+    active = (cols_idx < n_cols).astype(dtype)          # (max_cols,)
     z_cols = z_end + (cols_idx.astype(dtype) + 0.5) * dz_p
 
-    r = jnp.tile(inj_aux.r, MAX_INJECT_COLS)
-    cos_t = jnp.tile(inj_aux.cos_t, MAX_INJECT_COLS)
-    sin_t = jnp.tile(inj_aux.sin_t, MAX_INJECT_COLS)
-    w = jnp.tile(inj_aux.w_base, MAX_INJECT_COLS)
+    r = jnp.tile(inj_aux.r, max_cols)
+    cos_t = jnp.tile(inj_aux.cos_t, max_cols)
+    sin_t = jnp.tile(inj_aux.sin_t, max_cols)
+    w = jnp.tile(inj_aux.w_base, max_cols)
     z = jnp.repeat(z_cols, col_size)
     w = w * jnp.repeat(active, col_size)
 
@@ -107,7 +115,7 @@ def generate_columns(inj_cfg: InjectorConfig, inj_aux: InjectorAux,
             w = w * inj_cfg.dens_func(z=z, r=r)
         w = jnp.maximum(w, 0.0)
 
-    ntot = MAX_INJECT_COLS * col_size
+    ntot = max_cols * col_size
     kx, ky, kz = jax.random.split(key, 3)
     ux = inj_cfg.ux_m + inj_cfg.ux_th * jax.random.normal(kx, (ntot,), dtype)
     uy = inj_cfg.uy_m + inj_cfg.uy_th * jax.random.normal(ky, (ntot,), dtype)

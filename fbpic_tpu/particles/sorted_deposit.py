@@ -175,6 +175,7 @@ def _dense_deposit(geom, channel_vals, meta, Nz, Nr, zfold,
 
     S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=rdt)  # (Nz, K, Nrb)
     out = jnp.einsum("bkr,bkc->brc", S, V,
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=rdt)        # (Nz, Nrb, ...)
     out = out.reshape(Nz, Nrb, n_off, 2, C)
 
@@ -204,7 +205,7 @@ def deposit_rho_sorted(sort, x, y, z, w, q, Nm, invdz, zmin, Nz,
     x, y, z, w = _padded_arrays(sort, [x, y, z, w])
     geom = _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
                             Nr, ruyten_linear,
-                            mask_edges=(zfold == "clamp"),
+                            mask_edges=False,
                             delta_lo=-2, delta_hi=2)
     cos_m, sin_m = _mode_phases(geom["cos"], geom["sin"], Nm)
     wj = q * w
@@ -229,7 +230,7 @@ def deposit_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
         sort, [x, y, z, w, ux, uy, uz, inv_gamma])
     geom = _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
                             Nr, ruyten_linear,
-                            mask_edges=(zfold == "clamp"),
+                            mask_edges=False,
                             delta_lo=-1, delta_hi=1)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
