@@ -85,7 +85,8 @@ class SpeciesView:
             return True
         for sc in sim.species_configs:
             if sc.ionizer is not None \
-                    and sc.ionizer.target_index == self._index:
+                    and (sc.ionizer.target_index == self._index
+                         or self._index in sc.ionizer.per_level_targets):
                 return True
             if sc.compton is not None \
                     and sc.compton.target_index == self._index:
@@ -134,7 +135,10 @@ class SpeciesView:
         """Make this species ionizable (ADK model).
 
         Reference API: particles.py:441 (make_ionizable).
-        `target_species` is the SpeciesView receiving the new electrons.
+        `target_species` is the SpeciesView receiving the new electrons,
+        or a dict {level: SpeciesView} routing the electrons from each
+        ionizable level to its own species (reference
+        ionizer.py:123-146).
         """
         import jax.numpy as jnp
         from ..particles.ionization import (
@@ -144,11 +148,28 @@ class SpeciesView:
         ion_aux, n_levels = build_ionizer_aux(element, sim.dt, level_max)
         if level_max is None:
             level_max = n_levels
+        per_level = ()
+        if isinstance(target_species, dict):
+            for level in range(level_start, level_max):
+                if level not in target_species:
+                    raise ValueError(
+                        "When passing a dict for `target_species`, its "
+                        "keys must be the ionizable levels "
+                        f"{level_start}..{level_max - 1} of {element}.")
+            per_level = tuple(target_species[level]._index
+                              for level in range(level_start, level_max))
+            target_index = per_level[0]
+        else:
+            target_index = target_species._index
         cfg = IonizerConfig(element=element, level_start=level_start,
                             level_max=level_max,
-                            target_index=target_species._index)
+                            target_index=target_index,
+                            per_level_targets=per_level)
+        # Charge becomes the elementary charge: deposition and push use
+        # ionization_level * q as the per-particle charge (reference:
+        # particles.py:488-490 sets self.q = e)
         sim.species_configs[idx] = dataclasses.replace(
-            sim.species_configs[idx], ionizable=True, ionizer=cfg)
+            sim.species_configs[idx], ionizable=True, ionizer=cfg, q=e)
         # Add the ionization_level array to the particle state
         sp = sim.state.species[idx]
         lev = jnp.full(sp.capacity, level_start, dtype=jnp.int32)
@@ -713,8 +734,14 @@ class Simulation:
         if show_progress:
             from ..utils.printing import ProgressBar
             progress = ProgressBar(N)
+        # Cap the steps per device execution: a single XLA program
+        # running for many minutes can trip device/RPC watchdogs
+        # (observed on TPU v5e at ~300 s); 250 steps keeps executions
+        # well under that while still amortizing dispatch.
+        import os as _os
+        max_chunk = int(_os.environ.get("FBPIC_TPU_MAX_CHUNK", "250"))
         while done < N:
-            chunk = N - done
+            chunk = min(N - done, max_chunk)
             if writers:
                 period = min(getattr(d, "period", N) for d in writers)
                 next_boundary = period - (it % period)

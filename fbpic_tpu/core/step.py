@@ -420,6 +420,28 @@ def _z_profile(config, options, aux, zmin, time):
     return profile
 
 
+def _append_new_particles(esp, new):
+    """Write a front-packed creation buffer (w = 0 marks empty slots)
+    into a species' ring at its cursor; assigns fresh ids if the
+    species is tracked.  Shared by ionization and Compton."""
+    from ..particles.injection import write_ring
+    mask = new["w"] != 0
+    n_new = jnp.sum(mask.astype(jnp.int32))
+    updates = {}
+    for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
+        updates[name] = write_ring(getattr(esp, name), esp.next_free,
+                                   new[name], esp.capacity, mask)
+    if esp.ids is not None:
+        nb = new["x"].shape[0]
+        new_ids = esp.next_id + jnp.arange(nb, dtype=esp.ids.dtype)
+        updates["ids"] = write_ring(esp.ids, esp.next_free, new_ids,
+                                    esp.capacity, mask)
+        updates["next_id"] = esp.next_id + n_new.astype(esp.ids.dtype)
+    updates["next_free"] = jnp.mod(
+        esp.next_free + n_new, esp.capacity).astype(jnp.int32)
+    return dataclasses.replace(esp, **updates)
+
+
 def remove_outside_particles(config, sp, zmin):
     """Mark particles that reached the guard cells as dead (w = 0) and
     park them at the box center.
@@ -583,56 +605,35 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             if sc.compton is None:
                 continue
             from ..particles.compton import handle_compton
-            from ..particles.injection import write_ring
             key = _stream_key(state, _STREAM_COMPTON, i)
             sp_new, new_ph = handle_compton(
                 species[i], sc.compton, comp_auxes[i], dt,
                 state.time + 0.5 * dt, key)
             species[i] = sp_new
             tgt = sc.compton.target_index
-            psp = species[tgt]
-            n_new = jnp.sum((new_ph["w"] != 0).astype(jnp.int32))
-            mask = new_ph["w"] != 0
-            updates = {}
-            for name in ("x", "y", "z", "ux", "uy", "uz",
-                         "inv_gamma", "w"):
-                updates[name] = write_ring(getattr(psp, name),
-                                           psp.next_free, new_ph[name],
-                                           psp.capacity, mask)
-            updates["next_free"] = jnp.mod(
-                psp.next_free + n_new, psp.capacity).astype(jnp.int32)
-            species[tgt] = dataclasses.replace(psp, **updates)
+            species[tgt] = _append_new_particles(species[tgt], new_ph)
 
         # --- Elementary processes at t = (n+1/2) dt: ADK ionization
         # (reference: main.py:499-503)
         for i, sc in enumerate(species_configs):
             if sc.ionizer is None:
                 continue
-            from ..particles.ionization import ionize
-            from ..particles.injection import write_ring
+            from ..particles.ionization import ionize, \
+                select_level_electrons
             key = _stream_key(state, _STREAM_IONIZE, i)
             sp_new, new_elec = ionize(species[i], *gathered_EB[i],
                                       sc.ionizer, ion_auxes[i], key)
             species[i] = sp_new
-            tgt = sc.ionizer.target_index
-            esp = species[tgt]
-            n_new = jnp.sum((new_elec["w"] != 0).astype(jnp.int32))
-            mask = (new_elec["w"] != 0)
-            updates = {}
-            for name in ("x", "y", "z", "ux", "uy", "uz",
-                         "inv_gamma", "w"):
-                updates[name] = write_ring(getattr(esp, name),
-                                           esp.next_free, new_elec[name],
-                                           esp.capacity, mask)
-            if esp.ids is not None:
-                nb = new_elec["x"].shape[0]
-                new_ids = esp.next_id + jnp.arange(nb, dtype=jnp.uint32)
-                updates["ids"] = write_ring(esp.ids, esp.next_free,
-                                            new_ids, esp.capacity, mask)
-                updates["next_id"] = esp.next_id + n_new.astype(jnp.uint32)
-            updates["next_free"] = jnp.mod(
-                esp.next_free + n_new, esp.capacity).astype(jnp.int32)
-            species[tgt] = dataclasses.replace(esp, **updates)
+            if sc.ionizer.per_level_targets:
+                # Route electrons from each ionizable level to its own
+                # species (reference ionizer.py:123-146)
+                for off, tgt in enumerate(sc.ionizer.per_level_targets):
+                    lvl = sc.ionizer.level_start + off
+                    sub = select_level_electrons(new_elec, lvl)
+                    species[tgt] = _append_new_particles(species[tgt], sub)
+            else:
+                tgt = sc.ionizer.target_index
+                species[tgt] = _append_new_particles(species[tgt], new_elec)
 
         # --- Column sort for the dense (MXU) deposition path: built
         # once per step after all particle creation, reused by the J

@@ -10,6 +10,9 @@ buffer -- no reallocation (reference:
 
 Rate formula: ADK as in Chen et al., JCP 236 (2013), eq. (2).
 """
+import os
+import re
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -18,29 +21,13 @@ from ..utils.pytree import pytree_dataclass, static_dataclass
 from ..utils.dtypes import real_dtype
 from ..constants import c, e, m_e
 
-# Ionization energies in eV (NIST Atomic Spectra Database values).
-# One list per element: energy to go from charge state i to i+1.
-IONIZATION_ENERGIES_EV = {
-    "H": [13.598434],
-    "He": [24.587387, 54.417763],
-    "Li": [5.391715, 75.64009, 122.45429],
-    "C": [11.260296, 24.38332, 47.88778, 64.49352, 392.090515, 489.993194],
-    "N": [14.53413, 29.60125, 47.4453, 77.4735, 97.8901,
-          552.06733, 667.04609],
-    "O": [13.618055, 35.12112, 54.93554, 77.41350, 113.8990, 138.1189,
-          739.32683, 871.40988],
-    "Ne": [21.564540, 40.96297, 63.4233, 97.1900, 126.247, 157.934,
-           207.271, 239.0970, 1195.80784, 1362.19916],
-    "Al": [5.985769, 18.82855, 28.447642, 119.9924, 153.8252, 190.49,
-           241.76, 284.64, 330.21, 398.65, 442.005, 2085.97702,
-           2304.14007],
-    "Ar": [15.7596119, 27.62967, 40.735, 59.58, 74.84, 91.290, 124.41,
-           143.4567, 422.60, 479.76, 540.4, 619.0, 686.9, 755.13, 855.5,
-           918.375, 4120.6657, 4426.2229],
-    "Kr": [13.9996055, 24.35984, 35.838, 50.85, 64.69, 78.49, 109.13,
-           125.802],
-    "Xe": [12.1298437, 20.975, 31.05, 42.20, 54.1, 66.703, 91.6, 105.978],
-}
+# Full NIST ionization-energy table (public-domain NIST ASD data; the
+# file carries the NIST license/citation header).  Covers H-Ar, Kr, Xe,
+# Rb, Rn with every ionization level (reference parses the same table:
+# read_atomic_data.py:14-107).
+_ATOMIC_DATA_FILE = os.path.join(os.path.dirname(__file__),
+                                 "atomic_data.txt")
+_cached_energies = {}
 
 # Physical constants for the ADK prefactors
 ALPHA_FS = 7.2973525693e-3        # fine-structure constant
@@ -49,10 +36,39 @@ UH_EV = 13.598434                 # hydrogen ionization energy [eV]
 
 
 def get_ionization_energies(element):
-    """Ionization energies in Joules, or None for unknown elements."""
-    if element not in IONIZATION_ENERGIES_EV:
+    """Ionization energies in Joules (one entry per ionization level,
+    i.e. energy to go from charge state i to i+1), or None for elements
+    absent from the table."""
+    if element in _cached_energies:
+        return _cached_energies[element]
+    levels = {}
+    atomic_number = None
+    with open(_ATOMIC_DATA_FILE) as f:
+        for line in f:
+            if "|" not in line or line.lstrip().startswith("#"):
+                continue
+            parts = [p.strip() for p in line.split("|")]
+            if len(parts) < 4 or not parts[0].isdigit():
+                continue
+            sym = parts[1].split()[0] if parts[1] else ""
+            if sym != element:
+                continue
+            charge = int(parts[2].lstrip("+") or 0)
+            match = re.search(r"(\d+\.?\d*)", parts[3])
+            if match is None:
+                continue
+            levels[charge] = float(match.group(1))
+            atomic_number = int(parts[0])
+    if not levels:
+        _cached_energies[element] = None
         return None
-    return np.array(IONIZATION_ENERGIES_EV[element]) * e
+    energies = np.zeros(atomic_number)
+    for lvl in range(atomic_number):
+        assert lvl in levels, (
+            f"atomic_data.txt is missing level {lvl} of {element}")
+        energies[lvl] = e * levels[lvl]
+    _cached_energies[element] = energies
+    return energies
 
 
 @static_dataclass
@@ -63,12 +79,23 @@ class IonizerConfig:
     level_max: int
     target_index: int          # species index receiving the electrons
     buffer_size: int = 8192    # max electrons created per step
+    # Optional per-level electron routing (reference ionizer.py:123-146:
+    # a dict {level: species}): tuple of species indices, one per
+    # ionizable level from level_start to level_max-1.  Empty tuple =
+    # all electrons go to target_index.
+    per_level_targets: tuple = ()
 
 
 @pytree_dataclass
 class IonizerAux:
-    """Device ADK coefficient arrays, one element per ionization level."""
-    adk_prefactor: jax.Array
+    """Device ADK coefficient arrays, one element per ionization level.
+
+    The rate is evaluated in log space: the plain prefactor
+    dt*wa*C2*(U/2UH)*(2(U/UH)^1.5 Ea)^(2n-1) spans ~1e-30..1e+60 across
+    high ionization levels, which overflows float32 on TPU; the log
+    form stays O(100).
+    """
+    adk_log_prefactor: jax.Array
     adk_power: jax.Array
     adk_exp_prefactor: jax.Array
 
@@ -98,13 +125,14 @@ def build_ionizer_aux(element, dt, level_max=None):
     C2 = 2 ** (2 * n_eff) / (
         n_eff * gamma_fn(n_eff + l_eff + 1) * gamma_fn(n_eff - l_eff))
     adk_power = -(2 * n_eff - 1)
-    adk_prefactor = dt * wa * C2 * (Uion / (2 * UH)) \
-        * (2 * (Uion / UH) ** 1.5 * Ea) ** (2 * n_eff - 1)
+    adk_log_prefactor = (
+        np.log(dt * wa * C2 * (Uion / (2 * UH)))
+        + (2 * n_eff - 1) * np.log(2 * (Uion / UH) ** 1.5 * Ea))
     adk_exp_prefactor = -2.0 / 3 * (Uion / UH) ** 1.5 * Ea
 
     rdt = real_dtype()
     return IonizerAux(
-        adk_prefactor=jnp.asarray(adk_prefactor, rdt),
+        adk_log_prefactor=jnp.asarray(adk_log_prefactor, rdt),
         adk_power=jnp.asarray(adk_power, rdt),
         adk_exp_prefactor=jnp.asarray(adk_exp_prefactor, rdt),
     ), len(Uion)
@@ -138,14 +166,16 @@ def ionize(sp, E, B, ion_cfg: IonizerConfig, ion_aux: IonizerAux, key):
     E_amp = jnp.sqrt(jnp.maximum(E2, 0.0))
 
     level = sp.ionization_level
-    lvl_idx = jnp.clip(level, 0, ion_aux.adk_prefactor.shape[0] - 1)
-    prefactor = ion_aux.adk_prefactor[lvl_idx]
+    lvl_idx = jnp.clip(level, 0, ion_aux.adk_log_prefactor.shape[0] - 1)
+    log_prefactor = ion_aux.adk_log_prefactor[lvl_idx]
     power = ion_aux.adk_power[lvl_idx]
     exp_prefactor = ion_aux.adk_exp_prefactor[lvl_idx]
 
+    # Log-space evaluation (f32-safe; see IonizerAux docstring)
     safe_E = jnp.where(E_amp > 0, E_amp, 1.0)
-    w_dtau = (1.0 / gamma) * prefactor * safe_E**power \
-        * jnp.exp(exp_prefactor / safe_E)
+    log_w_dtau = (log_prefactor + power * jnp.log(safe_E)
+                  + exp_prefactor / safe_E - jnp.log(gamma))
+    w_dtau = jnp.exp(jnp.minimum(log_w_dtau, 60.0))
     p = jnp.where(E_amp > 0, 1.0 - jnp.exp(-w_dtau), 0.0)
 
     draw = jax.random.uniform(key, sp.w.shape, sp.w.dtype)
@@ -169,6 +199,29 @@ def ionize(sp, E, B, ion_cfg: IonizerConfig, ion_aux: IonizerAux, key):
         buf = jnp.zeros(B_size, arr.dtype)
         new[name] = buf.at[slots].set(jnp.where(take, arr, 0.0),
                                       mode="drop")
+    # Birth level (the ion's level BEFORE this ionization): used to
+    # route electrons to per-level target species
+    lvl_buf = jnp.zeros(B_size, jnp.int32)
+    new["level"] = lvl_buf.at[slots].set(
+        jnp.where(take, level, 0).astype(jnp.int32), mode="drop")
     # Electrons inherit the ion momentum (recoil neglected, as in the
     # reference); weight is the plain macroparticle weight
     return sp_new, new
+
+
+def select_level_electrons(new, level):
+    """Repack the electrons of one birth level to the buffer front.
+
+    Returns a dict like `new` (without 'level') where only electrons
+    with new['level'] == level survive, compacted with w = 0 padding.
+    """
+    B_size = new["w"].shape[0]
+    mask = (new["w"] != 0) & (new["level"] == level)
+    idx = jnp.cumsum(mask) - 1
+    slots = jnp.where(mask, idx, B_size)
+    out = {}
+    for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
+        buf = jnp.zeros(B_size, new[name].dtype)
+        out[name] = buf.at[slots].set(jnp.where(mask, new[name], 0.0),
+                                      mode="drop")
+    return out

@@ -19,10 +19,11 @@ from fbpic_tpu.particles.ionization import build_ionizer_aux
 def _adk_probability(element, level, E_field, dt):
     """Host-side ADK probability per timestep (rest frame, gamma=1)."""
     aux, _ = build_ionizer_aux(element, dt)
-    pref = float(aux.adk_prefactor[level])
+    log_pref = float(aux.adk_log_prefactor[level])
     power = float(aux.adk_power[level])
     exp_pref = float(aux.adk_exp_prefactor[level])
-    w_dtau = pref * E_field**power * np.exp(exp_pref / E_field)
+    w_dtau = np.exp(log_pref + power * np.log(E_field)
+                    + exp_pref / E_field)
     return 1.0 - np.exp(-w_dtau)
 
 
@@ -73,5 +74,100 @@ def test_adk_rate_static_field():
     assert rho_ions[0].real.max() > 0  # positive charge proportional to level
 
 
+def test_full_atomic_table():
+    """The embedded NIST table must cover every level of every listed
+    element (the reference parses the same data:
+    read_atomic_data.py:14-107)."""
+    from fbpic_tpu.particles.ionization import get_ionization_energies
+    expected_levels = {"H": 1, "He": 2, "N": 7, "Ar": 18, "Kr": 36,
+                       "Xe": 54, "Rb": 37, "Rn": 86}
+    for el, n in expected_levels.items():
+        en = get_ionization_energies(el)
+        assert en is not None and len(en) == n, (el, len(en))
+        assert np.all(np.diff(en) > 0) or el in ("Rb",), el
+    assert get_ionization_energies("Unknownium") is None
+
+
+def test_chen2013_n5_fraction():
+    """Chen JCP 2013 fig. 2: an a0=1.8 Gaussian laser through Nitrogen
+    (starting at N2+) leaves ~1/3 of the atoms in the N5+ state.
+
+    External physics benchmark, mirroring
+    /root/reference/tests/test_ionization.py (lab-frame case, with the
+    laser as a prescribed external field and separate per-level
+    electron species)."""
+    import jax.numpy as jnp
+    import math
+
+    zmin_lab, zmax_lab = 0.e-6, 20.e-6
+    Nr, rmax, Nm = 3, 10.e-6, 2
+    p_zmin, p_zmax = 5.e-6, 15.e-6
+    p_rmin, p_rmax = 0., 100.e-6
+    n_atoms = 0.2
+    p_nz, p_nr, p_nt = 2, 1, 4
+
+    a0 = 1.8
+    lambda0 = 0.8e-6
+    ctau = 10. * lambda0
+    z0 = -2 * ctau
+    omega = 2 * np.pi * c / lambda0
+    E0 = a0 * m_e * c * omega / e
+    B0 = E0 / c
+
+    def laser_func(F, x, y, z, t, amplitude, length_scale):
+        return F + amplitude * jnp.cos(2 * np.pi * (z - c * t) / lambda0) \
+            * jnp.exp(-((z - c * t - z0) ** 2) / ctau**2)
+
+    dz = lambda0 / 16.
+    dt = dz / c
+    Nz = int((zmax_lab - zmin_lab) / dz) + 1
+    N_step = int((2. * 40. * lambda0 + zmax_lab - zmin_lab) / dz) + 1
+
+    level_start = 2
+    sim = Simulation(Nz, zmax_lab, Nr, rmax, Nm, dt, zmin=zmin_lab,
+                     boundaries={"z": "open", "r": "reflective"},
+                     random_seed=0)
+    elec = sim.add_new_species(q=-e, m=m_e, n=level_start * n_atoms,
+                               p_nz=p_nz, p_nr=p_nr, p_nt=p_nt,
+                               p_zmin=p_zmin, p_zmax=p_zmax,
+                               p_rmin=p_rmin, p_rmax=p_rmax,
+                               continuous_injection=False)
+    ions = sim.add_new_species(q=0, m=14. * m_p, n=n_atoms,
+                               p_nz=p_nz, p_nr=p_nr, p_nt=p_nt,
+                               p_zmin=p_zmin, p_zmax=p_zmax,
+                               p_rmin=p_rmin, p_rmax=p_rmax,
+                               continuous_injection=False)
+    # One electron species per ionizable level (N2+ .. N5+)
+    level_max = 6
+    targets = {lvl: sim.add_new_species(q=-e, m=m_e, capacity=65536,
+                                        continuous_injection=False)
+               for lvl in range(level_start, level_max)}
+    ions.make_ionizable(element="N", level_start=level_start,
+                        level_max=level_max, target_species=targets)
+    sim.external_fields = [
+        ExternalField(laser_func, "Ex", E0, 0.),
+        ExternalField(laser_func, "By", B0, 0.)]
+
+    sim.step(N_step, use_true_rho=True, show_progress=False)
+
+    w = np.asarray(sim.state.species[ions._index].w)
+    lev = np.asarray(sim.state.species[ions._index].ionization_level)
+    live = w != 0
+    ntot = w[live].sum()
+    n_N5 = w[live & (lev == 5)].sum()
+    frac = n_N5 / ntot
+    print(f"N5+ fraction: {frac:.4f} (Chen 2013: ~0.32)")
+    assert 0.30 < frac < 0.34
+
+    # Per-level electron routing: each target species' weight equals
+    # the weight of ions that passed through that level
+    for lvl in range(level_start, level_max):
+        tw = np.asarray(sim.state.species[targets[lvl]._index].w).sum()
+        n_through = w[live & (lev > lvl)].sum()
+        assert np.isclose(tw, n_through, rtol=1e-6), (lvl, tw, n_through)
+
+
 if __name__ == "__main__":
     test_adk_rate_static_field()
+    test_full_atomic_table()
+    test_chen2013_n5_fraction()
