@@ -219,8 +219,17 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
 
     comoving = config.use_comoving
 
-    from .transform import dft_matrices
+    from .transform import dft_matrices, split_dft_matrices
     Wf, Wi = dft_matrices(Nz)
+    split = split_dft_matrices(Nz)
+    split_mats = {}
+    if split is not None:
+        split_mats = dict(
+            WfM_re=dev_r(split["WfM"].real), WfM_im=dev_r(split["WfM"].imag),
+            twf_re=dev_r(split["twf"].real), twf_im=dev_r(split["twf"].imag),
+            WiM_re=dev_r(split["WiM"].real), WiM_im=dev_r(split["WiM"].imag),
+            twi_re=dev_r(split["twi"].real), twi_im=dev_r(split["twi"].imag),
+        )
 
     return FieldAux(
         mats=TransformMatrices(
@@ -228,6 +237,7 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
             kr=dev_r(kr_np),
             Wf_re=dev_r(Wf.real), Wf_im=dev_r(Wf.imag),
             Wi_re=dev_r(Wi.real), Wi_im=dev_r(Wi.imag),
+            **split_mats,
         ),
         kz_true=dev_r(kz_true),
         kz=dev_r(kz_mod[None, :, None]),

@@ -53,6 +53,44 @@ def dft_matrices(Nz):
     return Wf, Wi
 
 
+def _pick_radix(Nz):
+    """Largest radix in {8, 7, 6, 5, 4, 3, 2} that divides Nz with a
+    sub-transform size of at least 64 (keeps the MXU tiles filled)."""
+    for R in (8, 7, 6, 5, 4, 3, 2):
+        if Nz % R == 0 and Nz // R >= 64:
+            return R
+    return 1
+
+
+def split_dft_matrices(Nz):
+    """One-level Cooley-Tukey factorization of the length-Nz DFT.
+
+    Decimation in time over R strided subsequences:
+        X[k] = sum_r exp(-2i pi k r / Nz) * (DFT_M x[r::R])[k mod M]
+    with M = Nz/R.  This turns the dense (Nz, Nz) matmul (2 Nz^2 flops
+    per column) into R batched (M, M) matmuls (2 Nz^2 / R flops) plus a
+    cheap elementwise twiddle-combine -- an R-fold MXU flop saving,
+    which matters because the spectral transforms must run at
+    float32-exact (6-pass) precision.
+
+    Returns None when no useful factorization exists, else a dict with
+    the (M, M) sub-DFT matrices and (Nz, R) twiddles for the forward
+    and (1/Nz-normalized) inverse transforms.
+    """
+    R = _pick_radix(Nz)
+    if R == 1:
+        return None
+    M = Nz // R
+    m = np.arange(M)
+    WfM = np.exp(-2j * np.pi * np.outer(m, m) / M)       # (u, m)
+    k = np.arange(Nz)
+    r = np.arange(R)
+    twf = np.exp(-2j * np.pi * np.outer(k, r) / Nz)      # (k, r)
+    WiM = np.conj(WfM)
+    twi = np.conj(twf) / Nz
+    return dict(R=R, M=M, WfM=WfM, twf=twf, WiM=WiM, twi=twi)
+
+
 @pytree_dataclass
 class TransformMatrices:
     """Device-resident transform matrices.
@@ -71,6 +109,16 @@ class TransformMatrices:
     Wf_im: jax.Array
     Wi_re: jax.Array   # (Nz, Nz) inverse DFT
     Wi_im: jax.Array
+    # Optional Cooley-Tukey factorization (None = dense DFT):
+    # (M, M) sub-DFT matrices + (Nz, R) twiddles, see split_dft_matrices
+    WfM_re: jax.Array = None
+    WfM_im: jax.Array = None
+    twf_re: jax.Array = None
+    twf_im: jax.Array = None
+    WiM_re: jax.Array = None
+    WiM_im: jax.Array = None
+    twi_re: jax.Array = None
+    twi_im: jax.Array = None
 
     @staticmethod
     def build(Nm: int, Nr: int, Nz: int, rmax: float,
@@ -79,6 +127,15 @@ class TransformMatrices:
         Wf, Wi = dft_matrices(Nz)
         dtype = dtype or real_dtype()
         dev = lambda v: jnp.asarray(v, dtype=dtype)
+        split = split_dft_matrices(Nz)
+        extra = {}
+        if split is not None:
+            extra = dict(
+                WfM_re=dev(split["WfM"].real), WfM_im=dev(split["WfM"].imag),
+                twf_re=dev(split["twf"].real), twf_im=dev(split["twf"].imag),
+                WiM_re=dev(split["WiM"].real), WiM_im=dev(split["WiM"].imag),
+                twi_re=dev(split["twi"].real), twi_im=dev(split["twi"].imag),
+            )
         return TransformMatrices(
             M0=dev(mats["M0"]), invM0=dev(mats["invM0"]),
             Mp=dev(mats["Mp"]), invMp=dev(mats["invMp"]),
@@ -86,6 +143,7 @@ class TransformMatrices:
             kr=dev(mats["kr"]),
             Wf_re=dev(Wf.real), Wf_im=dev(Wf.imag),
             Wi_re=dev(Wi.real), Wi_im=dev(Wi.imag),
+            **extra,
         )
 
 
@@ -115,13 +173,54 @@ def _zmatmul(Wre, Wim, F: CArr) -> CArr:
     )
 
 
+def _zmatmul_split_many(WM_re, WM_im, tw_re, tw_im, fields):
+    """One-level Cooley-Tukey z-transform of a list of CArr.
+
+    X[k] = sum_r tw[k, r] * (DFT_M x[r::R])[k mod M]: R batched (M, M)
+    matmuls (Nz^2/R MXU flops instead of Nz^2) + an elementwise
+    twiddle-combine on the VPU.
+    """
+    Nm, Nz, Nr = fields[0].shape
+    M = WM_re.shape[0]
+    R = Nz // M
+    pe = WM_re.dtype
+    Q = jnp.concatenate([x for F in fields for x in (F.re, F.im)], axis=-1)
+    q = Q.shape[-1]
+    # Strided subsequences x[r::R]: (Nm, Nz, q) -> (Nm, R, M, q)
+    Qr = Q.reshape(Nm, M, R, q).transpose(0, 2, 1, 3)
+    A = jnp.einsum("um,nrmq->nruq", WM_re, Qr, preferred_element_type=pe,
+                   precision=_PRECISION)
+    B = jnp.einsum("um,nrmq->nruq", WM_im, Qr, preferred_element_type=pe,
+                   precision=_PRECISION)
+    # Tile the length-M sub-spectra along k and combine with twiddles
+    At = jnp.tile(A, (1, 1, R, 1))                   # (Nm, R, Nz, q)
+    Bt = jnp.tile(B, (1, 1, R, 1))
+    Tr = tw_re.T[None, :, :, None]                   # (1, R, Nz, 1)
+    Ti = tw_im.T[None, :, :, None]
+    out = []
+    for i in range(len(fields)):
+        re_sl = slice((2 * i) * Nr, (2 * i + 1) * Nr)
+        im_sl = slice((2 * i + 1) * Nr, (2 * i + 2) * Nr)
+        Yre = At[..., re_sl] - Bt[..., im_sl]
+        Yim = At[..., im_sl] + Bt[..., re_sl]
+        out.append(CArr(jnp.sum(Tr * Yre - Ti * Yim, axis=1),
+                        jnp.sum(Tr * Yim + Ti * Yre, axis=1)))
+    return out
+
+
 def fft_z(mats: TransformMatrices, F: CArr) -> CArr:
     """Forward DFT along z (axis -2), unnormalized (numpy convention)."""
+    if mats.WfM_re is not None:
+        return _zmatmul_split_many(mats.WfM_re, mats.WfM_im,
+                                   mats.twf_re, mats.twf_im, [F])[0]
     return _zmatmul(mats.Wf_re, mats.Wf_im, F)
 
 
 def ifft_z(mats: TransformMatrices, F: CArr) -> CArr:
     """Inverse DFT along z (axis -2), 1/Nz normalized."""
+    if mats.WiM_re is not None:
+        return _zmatmul_split_many(mats.WiM_re, mats.WiM_im,
+                                   mats.twi_re, mats.twi_im, [F])[0]
     return _zmatmul(mats.Wi_re, mats.Wi_im, F)
 
 
@@ -204,10 +303,16 @@ def _zmatmul_many(Wre, Wim, fields):
 
 
 def fft_z_many(mats: TransformMatrices, fields):
+    if mats.WfM_re is not None:
+        return _zmatmul_split_many(mats.WfM_re, mats.WfM_im,
+                                   mats.twf_re, mats.twf_im, fields)
     return _zmatmul_many(mats.Wf_re, mats.Wf_im, fields)
 
 
 def ifft_z_many(mats: TransformMatrices, fields):
+    if mats.WiM_re is not None:
+        return _zmatmul_split_many(mats.WiM_re, mats.WiM_im,
+                                   mats.twi_re, mats.twi_im, fields)
     return _zmatmul_many(mats.Wi_re, mats.Wi_im, fields)
 
 
