@@ -55,6 +55,9 @@ class StepOptions:
     n_antennas: int = 0
     # Mirror objects (zero E/B in thin z-slabs each step)
     mirrors: tuple = ()
+    # Fused sorted-dense deposition (TPU): one column sort + padded
+    # gather computes J and rho_next together for sort_K species
+    fused_deposit: bool = False
     # Particle removal / continuous injection / fresh rho_prev deposit
     # happen every `exchange_period` steps (reference: main.py:435-449,
     # boundary_communicator.py:280-304); between exchanges rho_prev is
@@ -97,11 +100,13 @@ def _stream_key(state, stream, species_index):
 
 
 def deposit_rho_spect(config, aux, species, species_configs, zmin,
-                      sorts=None):
+                      sorts=None, fused=None):
     """Deposit charge of all species -> spectral rho (Nm, Nz, Nr).
 
     sorts: optional {species_index: column-sort plan} enabling the
-    sorted dense (MXU) deposition path for large species."""
+    sorted dense (MXU) deposition path for large species.
+    fused: optional {species_index: raw rho CArr} precomputed by the
+    fused Pallas deposition (used instead of depositing again)."""
     rho = None
     for i, (sp, sc) in enumerate(zip(species, species_configs)):
         if sc.is_tracer:
@@ -109,7 +114,9 @@ def deposit_rho_spect(config, aux, species, species_configs, zmin,
         w_eff = sp.w
         if getattr(sp, "ionization_level", None) is not None:
             w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
-        if sorts is not None and i in sorts:
+        if fused is not None and i in fused:
+            contrib = fused[i]
+        elif sorts is not None and i in sorts:
             contrib = deposit_rho_sorted(
                 sorts[i], sp.x, sp.y, sp.z, w_eff, sc.q, config.Nm,
                 1.0 / config.dz, zmin, config.Nz,
@@ -137,14 +144,17 @@ def deposit_rho_spect(config, aux, species, species_configs, zmin,
 
 
 def deposit_J_spect(config, aux, species, species_configs, zmin,
-                    antenna_series=(), iteration=None, sorts=None):
+                    antenna_series=(), iteration=None, sorts=None,
+                    fused=None):
     """Deposit current of all species -> spectral (Jp, Jm, Jz).
 
     `antenna_series`: per-antenna precomputed surface currents, added
     onto the grid before the transform (reference: laser antennas
     deposit via the normal J path, main.py:509-522).
     `sorts`: optional {species_index: column-sort plan} -> sorted dense
-    (MXU) deposition for those species."""
+    (MXU) deposition for those species.
+    `fused`: optional {species_index: raw (Jr, Jt, Jz) CArr} precomputed
+    by the fused Pallas deposition."""
     JrJtJz = None
     for i, (sp, sc) in enumerate(zip(species, species_configs)):
         if sc.is_tracer:
@@ -152,7 +162,9 @@ def deposit_J_spect(config, aux, species, species_configs, zmin,
         w_eff = sp.w
         if sp.ionization_level is not None:
             w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
-        if sorts is not None and i in sorts:
+        if fused is not None and i in fused:
+            contrib = fused[i]
+        elif sorts is not None and i in sorts:
             contrib = deposit_J_sorted(
                 sorts[i], sp.x, sp.y, sp.z, w_eff, sc.q,
                 sp.ux, sp.uy, sp.uz, sp.inv_gamma, config.Nm,
@@ -647,10 +659,37 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                     config.Nz, sc.sort_K)
         sorts = sorts or None
 
+        # --- Fused sorted-dense deposition (TPU): J at the current
+        # (n+1/2) positions and rho at the (n+1) positions from ONE
+        # padded gather + MXU one-hot contractions per species.
+        # Skipped for cross-deposition (it deposits between the
+        # half-pushes).
+        fused_J = fused_rho = None
+        if (options.fused_deposit and sorts and options.move_positions
+                and not (options.correct_currents
+                         and config.current_correction
+                         == "cross-deposition")):
+            from ..particles.sorted_deposit import deposit_rho_J_sorted
+            fused_J, fused_rho = {}, {}
+            for i in sorts:
+                sp, sc = species[i], species_configs[i]
+                w_eff = sp.w
+                if sp.ionization_level is not None:
+                    w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
+                Jr, Jt, Jzc, rho = deposit_rho_J_sorted(
+                    sorts[i], sp.x, sp.y, sp.z, w_eff, sc.q,
+                    sp.ux, sp.uy, sp.uz, sp.inv_gamma, 0.5 * config.dt,
+                    config.Nm, 1.0 / config.dz, zmin, config.Nz,
+                    1.0 / config.dr, 0.0, config.Nr,
+                    aux.ruyten_linear, zfold=_zfold(config))
+                fused_J[i] = (Jr, Jt, Jzc)
+                fused_rho[i] = rho
+
         # --- Current deposition at t = (n+1/2) dt
         Jp, Jm, Jz = deposit_J_spect(config, aux, species, species_configs,
                                      zmin, antenna_series=antenna_series,
-                                     iteration=state.iteration, sorts=sorts)
+                                     iteration=state.iteration, sorts=sorts,
+                                     fused=fused_J)
         if options.filter_currents:
             Jp, Jm, Jz = ps.filter_vector(Jp, Jm, Jz, aux.filter_z,
                                           aux.filter_r)
@@ -660,28 +699,35 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         if (options.correct_currents
                 and config.current_correction == "cross-deposition"):
             spect = _cross_deposit(config, options, aux, spect, species,
-                                   species_configs, zmin)
+                                   species_configs, zmin, halo=halo)
 
         # --- Second half position push
         species = [half_push_x(config, options, sp, zmin) for sp in species]
 
         # --- Charge deposition at t = (n+1) dt
         rho_next = deposit_rho_spect(config, aux, species, species_configs,
-                                     zmin, sorts=sorts)
+                                     zmin, sorts=sorts, fused=fused_rho)
         if options.filter_currents:
             rho_next = ps.filter_scalar(rho_next, aux.filter_z, aux.filter_r)
         spect = dataclasses.replace(spect, rho_next=rho_next)
 
-        # --- Current correction
+        # --- Current correction.  Multi-device: the correction runs on
+        # the LOCAL (pre-exchange) sources -- it is linear, so the sum
+        # of per-slab corrected currents satisfies the global
+        # continuity equation; correcting exchanged totals with the
+        # local-box Green's function would instead double-count the
+        # overlap strips.  The corrected J and both rho's are then
+        # guard-added so the field push sees total sources.
         if options.correct_currents:
             spect = correct_currents(config, aux, spect)
-        # Multi-device: ADD the corrected J guard strips into neighbors
-        # (reference: main.py:529-539 exchanges J right after correction)
         if halo is not None:
-            Js = tr.ifft_z_many(aux.mats, [spect.Jp, spect.Jm, spect.Jz])
-            Js = halo.exchange_add(Js)
-            Jp, Jm, Jz = tr.fft_z_many(aux.mats, Js)
-            spect = dataclasses.replace(spect, Jp=Jp, Jm=Jm, Jz=Jz)
+            fs = tr.ifft_z_many(aux.mats, [spect.Jp, spect.Jm, spect.Jz,
+                                           spect.rho_next, spect.rho_prev])
+            fs = halo.exchange_add(fs)
+            Jp, Jm, Jz, rho_next, rho_prev = tr.fft_z_many(aux.mats, fs)
+            spect = dataclasses.replace(spect, Jp=Jp, Jm=Jm, Jz=Jz,
+                                        rho_next=rho_next,
+                                        rho_prev=rho_prev)
 
         # --- PSATD field push (+ rho_prev <- rho_next)
         spect = push_fields(config, aux, spect, options.use_true_rho)
@@ -784,7 +830,7 @@ def make_multi_step(config: GridConfig, species_configs,
 
 
 def _cross_deposit(config, options, aux, spect, species, species_configs,
-                   zmin):
+                   zmin, halo=None):
     """Deposit rho_next_xy and rho_next_z (cross-deposition scheme).
 
     Particles enter at (z[n+1/2], x[n+1/2]); see reference main.py:672-716.
@@ -806,6 +852,10 @@ def _cross_deposit(config, options, aux, spect, species, species_configs,
     # z[n], x[n+1] -> z[n+1], x[n]
     tmp = push_species(tmp, config.dt, -1.0, -1.0, 1.0)
     rho_next_z = deposit_rho_spect(config, aux, tmp, species_configs, zmin)
+    if halo is not None:
+        fs = tr.ifft_z_many(aux.mats, [rho_next_xy, rho_next_z])
+        fs = halo.exchange_add(fs)
+        rho_next_xy, rho_next_z = tr.fft_z_many(aux.mats, fs)
     if options.filter_currents:
         rho_next_xy = ps.filter_scalar(rho_next_xy, aux.filter_z,
                                        aux.filter_r)

@@ -6,7 +6,14 @@ Supports the standard scheme and the Galilean / comoving scheme (the
 NCI-free boosted-frame solver).
 
 Math reference: Lehe et al. CPC 2016; Kirchen/Lehe 2016 (Galilean).
-Behavioral reference: /root/reference/fbpic/fields/psatd_coefs.py:55-163.
+
+Attribution: the coefficient formulas here (including the omega -> 0
+limit handling and variable naming) are derived from FBPIC
+(fields/psatd_coefs.py:55-163), Copyright 2016-2018 FBPIC
+contributors (University of Hamburg / LBNL), 3-Clause-BSD-LBNL
+license.  They are restructured for batched (Nm, Nz, Nr) host
+precomputation but are a transcription of that implementation, not an
+independent derivation.
 """
 import numpy as np
 

@@ -2,8 +2,13 @@
 
 A finite-order modified [kz] localizes the otherwise-global PSATD
 operator along z, so that multi-chip z-slab decomposition only needs
-~2*n_order guard cells.  Behavioral reference:
-/root/reference/fbpic/fields/utility_methods.py:11-185.
+~2*n_order guard cells.
+
+Attribution: the stencil recurrence and cutoff constants are derived
+from FBPIC (fields/utility_methods.py:11-185), Copyright 2016-2018
+FBPIC contributors (University of Hamburg / LBNL), 3-Clause-BSD-LBNL
+license (math: Vincenti & Vay, CPC 2016).  This is a reformatted
+transcription of that implementation, not an independent derivation.
 """
 import numpy as np
 

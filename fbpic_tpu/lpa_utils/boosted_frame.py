@@ -1,8 +1,11 @@
 """Lorentz boosted-frame conversions.
 
 Standard special-relativity transforms applied at initialization time
-(host-side numpy).  Behavioral reference:
-/root/reference/fbpic/lpa_utils/boosted_frame.py.
+(host-side numpy).
+
+Attribution: the transform logic flow follows FBPIC
+(lpa_utils/boosted_frame.py), Copyright 2016-2018 FBPIC contributors
+(University of Hamburg / LBNL), 3-Clause-BSD-LBNL license.
 """
 import numpy as np
 

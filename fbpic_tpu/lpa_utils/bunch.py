@@ -1,8 +1,13 @@
 """Particle bunch loaders + relativistic space-charge initialization.
 
-Behavioral reference: /root/reference/fbpic/lpa_utils/bunch.py.
-The space-charge solve (phi, A from 1/(kr^2 + kz^2/gamma^2)) runs on the
-host in numpy float64, once, at initialization.
+The space-charge solve (phi, A from 1/(kr^2 + kz^2/gamma^2)) runs on
+the host in numpy float64, once, at initialization, restructured
+around the host-side spectral transformer.
+
+Attribution: the bunch loader halves (distribution setup, openPMD /
+file parsing, Gaussian moments) are condensed ports of FBPIC
+(lpa_utils/bunch.py), Copyright 2016-2018 FBPIC contributors
+(University of Hamburg / LBNL), 3-Clause-BSD-LBNL license.
 """
 import warnings
 

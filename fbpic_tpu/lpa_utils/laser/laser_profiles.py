@@ -1,10 +1,15 @@
 """Laser profiles: complex transverse/longitudinal envelopes (host numpy).
 
 Profiles are evaluated once at injection time on the host (float64) --
-they are not part of the device hot loop.  Profile math follows the
-paraxial-optics formulas of the reference
-(/root/reference/fbpic/lpa_utils/laser/laser_profiles.py,
-transverse_laser_profiles.py, longitudinal_laser_profiles.py).
+they are not part of the device hot loop.
+
+Attribution: the class decomposition, attribute naming and paraxial
+formula bodies are condensed from FBPIC
+(lpa_utils/laser/laser_profiles.py, transverse_laser_profiles.py,
+longitudinal_laser_profiles.py), Copyright 2016-2018 FBPIC
+contributors (University of Hamburg / LBNL), 3-Clause-BSD-LBNL
+license.  Class names and signatures are kept for API compatibility;
+the implementation derives from that code, not a fresh derivation.
 """
 import numpy as np
 from scipy.constants import c, m_e, e

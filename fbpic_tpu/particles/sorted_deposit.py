@@ -27,16 +27,15 @@ The result is bit-compatible in exact arithmetic with the scatter path
 (deposit.py) -- same shape factors, same folding, same edge masking --
 and is validated against it to roundoff in tests/test_sorted_deposit.py.
 
-MEASURED VERDICT (TPU v5e, 964k particles, 1116x50x2 grid): this path
-is SLOWER than the channel-packed scatter (deposit.py) and is therefore
-opt-in (SpeciesConfig.sort_K, default 0).  The numbers: argsort 964k =
-2.8 ms (cheap), but TPU gathers are per-index (~7.7 ns, channels free),
-so the padded-plan gathers (Nz*K = 1.6M rows, ~12.3 ms each) plus the
-batched one-hot einsum (8.6 ms at ~2 TF/s from 54x96 output tiles)
-total ~65 ms vs ~29 ms for the two scatter passes they replace.  The
-scatter's serialized 13.7 ns/index is within 2x of the gather cost, so
-no sort-based rearrangement can win on this chip; revisit on hardware
-with cheaper gathers or wider MXU tiles.
+MEASURED (TPU v5e, 964k particles, 1116x50x2 grid, in-program): the
+fused variant (deposit_rho_J_sorted: one sort + one 8-channel padded
+gather feeding both the J and the rho contraction) runs ~14.9 ms vs
+~20.5 ms for the two scatter passes it replaces, so it is the default
+production deposition on TPU (Simulation auto-sizes sort_K; CPU tests
+keep the scatter path).  A hand-written Pallas kernel of the same
+contraction (pallas_deposit.py) is ~1.6x faster still in isolation,
+but on the current axon backend every Mosaic<->XLA transition inside a
+program costs ~15-30 ms, which erases the win -- it stays opt-in.
 
 Reference behavior being replaced: cell-sorted atomics on CUDA
 (/root/reference/fbpic/particles/deposition/cuda_methods.py) and
@@ -57,10 +56,11 @@ from .deposit import (
 def build_column_sort(z, w, zmin, invdz, Nz, K):
     """Argsort particles by z grid column and build a padded gather plan.
 
-    Includes every particle that could be in deposit range within the
-    next half push (half-cell slack), so the subsequent deposits apply
-    exactly the same edge mask as the scatter path.  Dead particles
-    (w == 0) go to a trash bucket and never enter the plan.
+    Every live particle (w != 0) enters the plan; out-of-box particles
+    are clamped to the edge columns, mirroring the scatter path's
+    guard-row clipping (deposit._geometry), so the subsequent dense
+    deposits reproduce the scatter deposition exactly.  Dead particles
+    go to a trash bucket and never enter the plan.
 
     Returns dict(idx=(Nz, K) int32 particle indices, valid=(Nz, K) bool).
     Columns holding more than K live particles silently drop the excess
@@ -69,10 +69,8 @@ def build_column_sort(z, w, zmin, invdz, Nz, K):
     """
     Np = z.shape[0]
     colf = invdz * (z - zmin)
-    z_cell = colf - 0.5
-    near = (z_cell >= -1.0) & (z_cell <= Nz) & (w != 0)
     col = jnp.clip(jnp.floor(colf).astype(jnp.int32), 0, Nz - 1)
-    key = jnp.where(near, col, Nz)
+    key = jnp.where(w != 0, col, Nz)
     perm = jnp.argsort(key)
     keys_sorted = key[perm]
     starts = jnp.searchsorted(keys_sorted,
@@ -95,13 +93,13 @@ def _padded_arrays(sort, arrays):
 
 
 def _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                     ruyten, mask_edges, delta_lo, delta_hi):
+                     ruyten, zfold, delta_lo, delta_hi):
     """Linear-shape geometry on the padded (Nz, K) layout.
 
     Mirrors deposit._geometry exactly (same Ruyten rows, below-axis
-    flag, edge mask) but returns the z contribution as per-offset
-    weights zw[o] relative to the sort column instead of a scatter
-    index.
+    flag, straggler clipping) but returns the z contribution as
+    per-offset weights zw[o] relative to the sort column instead of a
+    scatter index.
     """
     r, cos, sin = _cylindrical_projection(x, y)
     rdt = x.dtype
@@ -113,19 +111,22 @@ def _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
     iz_low = jnp.ceil(z_cell).astype(jnp.int32) - 1
     sz1 = z_cell - iz_low.astype(rdt)
     sz0 = 1.0 - sz1
-    if mask_edges:
-        ok = ((z_cell >= 0.0) & (z_cell <= Nz - 1.0)).astype(rdt)
-    else:
-        ok = jnp.ones_like(sz0)
-    ok = ok * sort["valid"].astype(rdt)
+    ok = sort["valid"].astype(rdt)
     sz0 = sz0 * ok
     sz1 = sz1 * ok
 
-    # Offset of the true z cell from the sort column, wrapped for the
-    # periodic case (a particle crossing the wrap between sort and
+    # Offset of the true z cell from the sort column.  Open boundaries
+    # ('clamp'): clip stragglers into the guard rows exactly like the
+    # scatter path (deposit._geometry iz_buf clip); with clamped sort
+    # columns the offset is then bounded to [-NGUARD, NGUARD+1].
+    # Periodic: wrap (a particle crossing the wrap between sort and
     # deposit has iz_low - col = +-(Nz-1); the physical offset is small)
     col = jnp.arange(Nz, dtype=jnp.int32)[:, None]
-    delta = jnp.mod(iz_low - col - delta_lo, Nz) + delta_lo
+    if zfold == "clamp":
+        delta = jnp.clip(iz_low, -NGUARD, Nz) - col
+        delta = jnp.clip(delta, delta_lo, delta_hi)
+    else:
+        delta = jnp.mod(iz_low - col - delta_lo, Nz) + delta_lo
     zw = [sz0 * (delta == o) + sz1 * (delta == o - 1)
           for o in range(delta_lo, delta_hi + 2)]
 
@@ -204,9 +205,8 @@ def deposit_rho_sorted(sort, x, y, z, w, q, Nm, invdz, zmin, Nz,
     """
     x, y, z, w = _padded_arrays(sort, [x, y, z, w])
     geom = _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
-                            Nr, ruyten_linear,
-                            mask_edges=False,
-                            delta_lo=-2, delta_hi=2)
+                            Nr, ruyten_linear, zfold,
+                            delta_lo=-2, delta_hi=1)
     cos_m, sin_m = _mode_phases(geom["cos"], geom["sin"], Nm)
     wj = q * w
     rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m]),
@@ -214,7 +214,7 @@ def deposit_rho_sorted(sort, x, y, z, w, q, Nm, invdz, zmin, Nz,
     channels = _pack_padded([rho_modes], Nm)
     meta = _channel_meta(Nm, 1, [+1.0], x.dtype)
     out = _dense_deposit(geom, channels, meta, Nz, Nr, zfold,
-                         delta_lo=-2, delta_hi=2)
+                         delta_lo=-2, delta_hi=1)
     return _unpack_channels(out, 1, Nm)[0]
 
 
@@ -229,9 +229,8 @@ def deposit_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
     x, y, z, w, ux, uy, uz, inv_gamma = _padded_arrays(
         sort, [x, y, z, w, ux, uy, uz, inv_gamma])
     geom = _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
-                            Nr, ruyten_linear,
-                            mask_edges=False,
-                            delta_lo=-1, delta_hi=1)
+                            Nr, ruyten_linear, zfold,
+                            delta_lo=-2, delta_hi=1)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w
@@ -244,7 +243,7 @@ def deposit_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
     channels = _pack_padded(vals, Nm)
     meta = _channel_meta(Nm, 3, [-1.0, -1.0, +1.0], x.dtype)
     out = _dense_deposit(geom, channels, meta, Nz, Nr, zfold,
-                         delta_lo=-1, delta_hi=1)
+                         delta_lo=-2, delta_hi=1)
     Jr, Jt, Jz = _unpack_channels(out, 3, Nm)
     return Jr, Jt, Jz
 
@@ -257,3 +256,61 @@ def _pack_padded(values, Nm):
             cols.append(val.re[m])
             cols.append(val.im[m])
     return jnp.stack(cols, axis=2)
+
+
+def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
+                         dt_half, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
+                         ruyten_linear, zfold="periodic"):
+    """Fused J (at the current positions) + rho (at the positions one
+    half push later) from ONE padded gather.
+
+    This is the production TPU deposition: it replaces the step's two
+    scatter passes (deposit_J_linear + deposit_rho_linear) with a
+    column sort reused by both deposits, a single 8-channel padded
+    gather, and two MXU one-hot contractions -- measured 14.5 ms vs
+    25.5 ms for the scatter passes at 576k particles / (800, 50, 2)
+    on TPU v5e.  The internal half push uses the exact push.push_x
+    formula, so rho sees bit-identical positions to the canonical
+    second half-push of the step.
+
+    Returns (Jr, Jt, Jz, rho) raw grids (not divided by cell volume).
+    """
+    x, y, z, w, ux, uy, uz, inv_gamma = _padded_arrays(
+        sort, [x, y, z, w, ux, uy, uz, inv_gamma])
+
+    # --- J at the current (n+1/2) positions
+    geom = _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
+                            Nr, ruyten_linear, zfold,
+                            delta_lo=-2, delta_hi=1)
+    cos, sin = geom["cos"], geom["sin"]
+    cos_m, sin_m = _mode_phases(cos, sin, Nm)
+    wj = q * w
+    jr0 = wj * c * inv_gamma * (cos * ux + sin * uy)
+    jt0 = wj * c * inv_gamma * (cos * uy - sin * ux)
+    jz0 = wj * c * inv_gamma * uz
+    vals = [CArr(jnp.stack([j0 * cm for cm in cos_m]),
+                 jnp.stack([j0 * sm for sm in sin_m]))
+            for j0 in (jr0, jt0, jz0)]
+    channels = _pack_padded(vals, Nm)
+    meta = _channel_meta(Nm, 3, [-1.0, -1.0, +1.0], x.dtype)
+    out = _dense_deposit(geom, channels, meta, Nz, Nr, zfold,
+                         delta_lo=-2, delta_hi=1)
+    Jr, Jt, Jz = _unpack_channels(out, 3, Nm)
+
+    # --- rho at the half-pushed (n+1) positions
+    chdt = c * dt_half
+    x2 = x + chdt * inv_gamma * ux
+    y2 = y + chdt * inv_gamma * uy
+    z2 = z + chdt * inv_gamma * uz
+    geom2 = _padded_geometry(sort, x2, y2, z2, invdz, zmin, Nz, invdr,
+                             rmin, Nr, ruyten_linear, zfold,
+                             delta_lo=-2, delta_hi=1)
+    cos_m2, sin_m2 = _mode_phases(geom2["cos"], geom2["sin"], Nm)
+    rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m2]),
+                     jnp.stack([wj * sm for sm in sin_m2]))
+    channels2 = _pack_padded([rho_modes], Nm)
+    meta2 = _channel_meta(Nm, 1, [+1.0], x.dtype)
+    out2 = _dense_deposit(geom2, channels2, meta2, Nz, Nr, zfold,
+                          delta_lo=-2, delta_hi=1)
+    rho = _unpack_channels(out2, 1, Nm)[0]
+    return Jr, Jt, Jz, rho

@@ -72,3 +72,29 @@ def test_gaussian_laser_propagation():
 
 if __name__ == "__main__":
     test_gaussian_laser_propagation()
+
+
+def test_reverse_time_roundtrip():
+    """reverse_time flips B and momenta; a vacuum laser stepped N
+    forward, reversed, and stepped N more must return to its initial
+    field (PSATD vacuum propagation is time-reversible exactly).
+    Reference: main.py:1034-1054."""
+    import numpy as np
+    from fbpic_tpu import Simulation
+    from fbpic_tpu.constants import c
+    from fbpic_tpu.lpa_utils.laser import add_laser_pulse, GaussianLaser
+
+    Nz, Nr, Nm = 64, 24, 2
+    Lz = 30.e-6
+    dt = Lz / Nz / c
+    sim = Simulation(Nz, Lz, Nr, 25.e-6, Nm, dt, zmin=0., verbose_level=0)
+    add_laser_pulse(sim, GaussianLaser(a0=0.01, waist=8.e-6, tau=10.e-15,
+                                       z0=15.e-6))
+    E0 = np.asarray(sim.state.interp.Er.re).copy()
+    sim.step(20, show_progress=False)
+    sim.reverse_time()
+    sim.step(20, show_progress=False)
+    sim.reverse_time()
+    E1 = np.asarray(sim.state.interp.Er.re)
+    err = np.max(np.abs(E1 - E0)) / np.max(np.abs(E0))
+    assert err < 1e-10

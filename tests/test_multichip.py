@@ -108,7 +108,11 @@ def test_multichip_parity_plasma_wave():
     scale = np.abs(Ez1).max()
     err = np.abs(Ez4_global - Ez1).max() / scale
     print("multichip max rel deviation:", err)
-    assert err < 2e-2
+    # Deposits/push/exchange are parity-exact (5e-9 with the correction
+    # off); the residual deviation is the per-slab curl-free correction
+    # (a global 1/k^2 operator applied per local box, as in the
+    # reference's MPI decomposition).
+    assert err < 5e-3
 
 
 if __name__ == "__main__":
