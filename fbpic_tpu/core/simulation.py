@@ -737,16 +737,16 @@ class Simulation:
             move_momenta=move_momenta, show_progress=show_progress,
             reuse_rho_prev=reuse_rho_prev)
 
-    def _step_impl(self, N=1, correct_currents=True, correct_divE=False,
-                   use_true_rho=False, move_positions=True, move_momenta=True,
-                   show_progress=False, reuse_rho_prev=True):
+    def build_options(self, correct_currents=True, correct_divE=False,
+                      use_true_rho=False, move_positions=True,
+                      move_momenta=True, reuse_rho_prev=True):
+        """StepOptions for this simulation's configuration (shared by
+        the single-chip step loop and the multi-chip distribution)."""
         mw_v = self.moving_win
         injectors = ()
-        inj_auxes = ()
         if mw_v is not None:
             injectors = tuple(self._injector_configs)
-            inj_auxes = tuple(self._injector_auxes)
-        options = StepOptions(
+        return StepOptions(
             correct_currents=correct_currents,
             correct_divE=correct_divE,
             use_true_rho=use_true_rho,
@@ -763,6 +763,18 @@ class Simulation:
             reuse_rho_prev=reuse_rho_prev,
             fused_deposit=self.use_fused_deposit,
         )
+
+    def _step_impl(self, N=1, correct_currents=True, correct_divE=False,
+                   use_true_rho=False, move_positions=True, move_momenta=True,
+                   show_progress=False, reuse_rho_prev=True):
+        mw_v = self.moving_win
+        inj_auxes = ()
+        if mw_v is not None:
+            inj_auxes = tuple(self._injector_auxes)
+        options = self.build_options(
+            correct_currents=correct_currents, correct_divE=correct_divE,
+            use_true_rho=use_true_rho, move_positions=move_positions,
+            move_momenta=move_momenta, reuse_rho_prev=reuse_rho_prev)
         step_fn, prepare_fn = self._get_step_fn(options)
         ion_auxes = tuple(self._ionizer_auxes)
         comp_auxes = tuple(self._compton_auxes)

@@ -29,3 +29,7 @@ class SimState:
     # Compton draws); uint32 scalar.  None falls back to stream 0 --
     # kept optional for states built by external code.
     seed: jax.Array = None
+    # Multi-chip: running count of particles LOST because a migration
+    # buffer overflowed (int32 scalar, psum'd across devices; None on
+    # single-device runs).  Simulation surfaces a warning when > 0.
+    migration_overflow: jax.Array = None

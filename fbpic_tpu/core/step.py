@@ -412,11 +412,16 @@ def damp_EB_z(config, aux, spect: SpectralFields, profile,
     return dataclasses.replace(spect, **dict(zip(names, back)))
 
 
-def _z_profile(config, options, aux, zmin, time):
+def _z_profile(config, options, aux, zmin, time, halo=None):
     """Combined multiplicative z profile: open-boundary damping x
-    mirror slabs set to zero (reference: mirrors.py:51, damping above)."""
+    mirror slabs set to zero (reference: mirrors.py:51, damping above).
+
+    Multi-device: the damping profile is the GLOBAL one sliced to this
+    rank's slab (only the edge ranks see nonzero damping)."""
     profile = None
-    if config.boundaries_z == "open" and config.nz_damp > 0:
+    if halo is not None:
+        profile = halo.damp_profile()
+    elif config.boundaries_z == "open" and config.nz_damp > 0:
         profile = aux.damp_z
     if options.mirrors:
         z_cells = zmin + (jnp.arange(config.Nz, dtype=zmin.dtype) + 0.5) \
@@ -454,7 +459,7 @@ def _append_new_particles(esp, new):
     return dataclasses.replace(esp, **updates)
 
 
-def remove_outside_particles(config, sp, zmin):
+def remove_outside_particles(config, sp, zmin, bounds=None):
     """Mark particles that reached the guard cells as dead (w = 0) and
     park them at the box center.
 
@@ -465,9 +470,12 @@ def remove_outside_particles(config, sp, zmin):
     window shift of rho_prev only wraps empty cells.
     """
     Lz = config.Nz * config.dz
-    ng = max(config.n_guard, 1)
-    z_lo = zmin + ng * config.dz
-    z_hi = zmin + Lz - ng * config.dz
+    if bounds is not None:
+        z_lo, z_hi = bounds
+    else:
+        ng = max(config.n_guard, 1)
+        z_lo = zmin + ng * config.dz
+        z_hi = zmin + Lz - ng * config.dz
     dead = (sp.z < z_lo) | (sp.z > z_hi)
     z_park = zmin + 0.5 * Lz
     return dataclasses.replace(
@@ -478,7 +486,7 @@ def remove_outside_particles(config, sp, zmin):
 
 
 def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
-                         zmin, key):
+                         zmin, key, grid_globals=None, inject_mask=None):
     """Inject new plasma columns at the right edge (ring buffer write).
 
     Returns the updated species state.  Called every exchange_period
@@ -489,10 +497,19 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     rdt = sp.z.dtype
     v_mw = options.moving_window_v
     # Injection plane: ahead of the physical+damp region, minus the
-    # injection cells (reference: continuous_injection.py:100-128)
+    # injection cells (reference: continuous_injection.py:100-128).
+    # Multi-device: computed from the GLOBAL grid geometry; only the
+    # last rank (inject_mask) actually writes particles, but every
+    # rank advances the ring cursor / injection front identically so
+    # the replicated bookkeeping stays consistent.
+    if grid_globals is not None:
+        zmin_g, Nz_g, n_guard_g, n_inject_g = grid_globals
+    else:
+        zmin_g, Nz_g = zmin, config.Nz
+        n_guard_g, n_inject_g = config.n_guard, config.n_inject
     z_inject = (
-        zmin + (config.Nz - config.n_guard) * config.dz
-        + (3 - config.n_inject) * config.dz
+        zmin_g + (Nz_g - n_guard_g) * config.dz
+        + (3 - n_inject_g) * config.dz
         + config.dt * (v_mw - inj_cfg.v_end_plasma)
     )
     n_cols = jnp.clip(
@@ -508,6 +525,8 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     col_size = inj_aux.r.shape[0]
     slot_idx = jnp.arange(n_write)
     mask = slot_idx < n_cols * col_size
+    if inject_mask is not None:
+        mask = mask & inject_mask
 
     updates = {}
     for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
@@ -556,6 +575,11 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         spect, interp = state.spect, state.interp
         species = list(state.species)
         zmin = state.zmin
+        # Global-grid left edge (differs from the local zmin on a
+        # z-decomposed mesh; equal otherwise) -- removal thresholds,
+        # the injection plane and the window-shift count are GLOBAL
+        # quantities (reference: boundary_communicator.py:710-826)
+        zmin_g = halo.global_zmin(zmin) if halo is not None else zmin
         mw_zref = state.mw_zref
         dt = config.dt
 
@@ -570,7 +594,10 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         if config.boundaries_z == "open":
             def _exchange(operands):
                 species, _rho_prev = operands
-                species = [remove_outside_particles(config, sp, zmin)
+                bounds = (halo.removal_bounds(zmin_g)
+                          if halo is not None else None)
+                species = [remove_outside_particles(config, sp, zmin,
+                                                    bounds=bounds)
                            for sp in species]
                 if options.moving_window_v is not None:
                     for i, (sp, sc) in enumerate(
@@ -579,10 +606,15 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                                    if options.injectors else None)
                         if inj_cfg is None:
                             continue
+                        gg = (halo.grid_globals(zmin_g)
+                              if halo is not None else None)
+                        imask = (halo.is_last()
+                                 if halo is not None else None)
                         species[i] = continuous_injection(
                             config, options, aux, sp, sc, inj_cfg,
                             inj_auxes[i], zmin,
-                            _stream_key(state, _STREAM_INJECT, i))
+                            _stream_key(state, _STREAM_INJECT, i),
+                            grid_globals=gg, inject_mask=imask)
                 rho_prev = deposit_rho_spect(config, aux, species,
                                              species_configs, zmin)
                 if options.filter_currents:
@@ -740,14 +772,15 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # --- Moving window: shift the spectral fields and the grid edge
         if options.moving_window_v is not None:
             mw_zref = mw_zref + options.moving_window_v * dt
-            n_move = jnp.floor((mw_zref - zmin) / config.dz
+            n_move = jnp.floor((mw_zref - zmin_g) / config.dz
                                ).astype(jnp.int32)
             spect = shift_spectral_fields(config, aux, spect, n_move)
             zmin = zmin + n_move.astype(zmin.dtype) * config.dz
 
         # --- Open-z boundaries / mirrors / multi-device guard replace:
         #     one partial-space round trip covers all of them
-        profile = _z_profile(config, options, aux, zmin, state.time)
+        profile = _z_profile(config, options, aux, zmin, state.time,
+                             halo=halo)
         if profile is not None or halo is not None:
             spect = damp_EB_z(config, aux, spect, profile, halo=halo)
 
@@ -771,6 +804,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             iteration=state.iteration + 1,
             mw_zref=mw_zref,
             seed=state.seed,
+            migration_overflow=state.migration_overflow,
         )
 
     return step

@@ -110,13 +110,24 @@ def exchange_guards_add(fields, g, axis_name):
     return [one(F) for F in fields]
 
 
-def migrate_particles(sp, config_local, zmin, axis_name, buffer_size):
+def migrate_particles(sp, config_local, zmin, axis_name, buffer_size,
+                      global_open=False):
     """Move particles that crossed the slab ownership boundary.
 
     Ownership: [zmin + g dz, zmin + (Nzl - g) dz).  Outgoing particles
     are compacted into fixed-size buffers (validity by weight) and sent
     around the ring with ppermute; incoming particles are appended at
-    the ring cursor (or over dead slots).
+    the ring cursor (or over dead slots).  All per-particle fields that
+    exist on the species (including ionization_level and tracking ids)
+    migrate together.
+
+    Returns (new_sp, n_lost): n_lost counts particles dropped because a
+    buffer overflowed (int32 scalar, this rank only).
+
+    global_open: the GLOBAL box has open z boundaries -- the edge ranks
+    kill outward-leaving particles instead of wrapping them around the
+    ring (they are outside the global box; reference removes them in
+    remove_particles, particle_buffer_handling.py:40-100).
     """
     g = config_local.n_guard
     dz = config_local.dz
@@ -124,31 +135,49 @@ def migrate_particles(sp, config_local, zmin, axis_name, buffer_size):
     z_lo = zmin + g * dz
     z_hi = zmin + (Nzl - g) * dz
 
+    fields = list(MIGRATION_FIELDS)
+    for name in ("ionization_level", "ids"):
+        if getattr(sp, name) is not None:
+            fields.append(name)
+
     alive = sp.w != 0
     go_left = alive & (sp.z < z_lo)
     go_right = alive & (sp.z >= z_hi)
 
     n = jax.lax.psum(1, axis_name)
+    me = jax.lax.axis_index(axis_name)
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [((i + 1) % n, i) for i in range(n)]
+
+    kill = jnp.zeros_like(go_left)
+    if global_open:
+        # Edge ranks: outward-leaving particles exit the global box
+        kill_left = go_left & (me == 0)
+        kill_right = go_right & (me == n - 1)
+        kill = kill_left | kill_right
+        go_left = go_left & ~kill_left
+        go_right = go_right & ~kill_right
 
     def compact(mask):
         idx = jnp.cumsum(mask) - 1                    # target slot
         take = mask & (idx < buffer_size)
         bufs = {}
-        for name in MIGRATION_FIELDS:
+        for name in fields:
             arr = getattr(sp, name)
+            zero = jnp.zeros((), arr.dtype)
             buf = jnp.zeros(buffer_size, arr.dtype)
             buf = buf.at[jnp.where(take, idx, buffer_size)].set(
-                jnp.where(take, arr, 0.0), mode="drop")
+                jnp.where(take, arr, zero), mode="drop")
             bufs[name] = buf
-        return bufs
+        n_lost = jnp.sum(mask) - jnp.sum(take)
+        return bufs, n_lost.astype(jnp.int32)
 
-    left_buf = compact(go_left)
-    right_buf = compact(go_right)
+    left_buf, lost_l = compact(go_left)
+    right_buf, lost_r = compact(go_right)
+    n_lost = lost_l + lost_r
 
-    # Local arrays: mark outgoing as dead
-    out_mask = go_left | go_right
+    # Local arrays: mark outgoing (and globally-exiting) as dead
+    out_mask = go_left | go_right | kill
     sp = dataclasses.replace(sp, w=jnp.where(out_mask, 0.0, sp.w))
 
     # Ship: my right-going buffer -> right neighbor; left-going -> left
@@ -159,47 +188,100 @@ def migrate_particles(sp, config_local, zmin, axis_name, buffer_size):
 
     # The global-boundary wrap: for periodic global z, ppermute's ring
     # already wraps; positions must be shifted by the global box length
-    # for particles that wrapped around.
-    Lz_global = (Nzl - 2 * g) * dz * n
-    me = jax.lax.axis_index(axis_name)
-    wrapped_from_left = (me == 0)
-    wrapped_from_right = (me == n - 1)
-    from_left["z"] = jnp.where(
-        wrapped_from_left & (from_left["w"] != 0),
-        from_left["z"] - Lz_global, from_left["z"])
-    from_right["z"] = jnp.where(
-        wrapped_from_right & (from_right["w"] != 0),
-        from_right["z"] + Lz_global, from_right["z"])
+    # for particles that wrapped around.  (Never happens when
+    # global_open: the edge ranks killed outward-leaving particles.)
+    if not global_open:
+        Lz_global = (Nzl - 2 * g) * dz * n
+        wrapped_from_left = (me == 0)
+        wrapped_from_right = (me == n - 1)
+        from_left["z"] = jnp.where(
+            wrapped_from_left & (from_left["w"] != 0),
+            from_left["z"] - Lz_global, from_left["z"])
+        from_right["z"] = jnp.where(
+            wrapped_from_right & (from_right["w"] != 0),
+            from_right["z"] + Lz_global, from_right["z"])
 
     # Append the received particles over dead slots: find 2*buffer_size
     # dead slots via a cheap argsort on (w != 0)
     incoming = {k: jnp.concatenate([from_left[k], from_right[k]])
-                for k in MIGRATION_FIELDS}
-    n_in = 2 * buffer_size
+                for k in fields}
+    n_in = min(2 * buffer_size, sp.w.shape[0])
+    if n_in < 2 * buffer_size:
+        # Capacity smaller than the combined buffers: live incoming
+        # particles beyond the first n_in slots are counted as lost
+        n_lost = n_lost + jnp.sum(
+            incoming["w"][n_in:] != 0).astype(jnp.int32)
+        incoming = {k: v[:n_in] for k, v in incoming.items()}
     dead_order = jnp.argsort(sp.w != 0)    # dead slots first
     slots = dead_order[:n_in]
     valid = incoming["w"] != 0
     updates = {}
-    for name in MIGRATION_FIELDS:
+    for name in fields:
         arr = getattr(sp, name)
         old = arr[slots]
         new = jnp.where(valid, incoming[name], old)
         updates[name] = arr.at[slots].set(new)
-    return dataclasses.replace(sp, **updates)
+    return dataclasses.replace(sp, **updates), n_lost
 
 
-def make_multichip_step(config_local: GridConfig, species_configs,
+def make_multichip_step(config_global: GridConfig, species_configs,
                         options: StepOptions, mesh: Mesh,
-                        axis_name="z", migration_buffer=4096):
+                        axis_name="z", migration_buffer=4096,
+                        n_guard=None):
     """Build the shard_map'd multi-device N-step function.
 
+    config_global: the full-box grid config (periodic or open z; for
+    open boundaries its Nz already includes the edge guard/damp/inject
+    regions, exactly as in the single-chip Simulation).  Each rank owns
+    Nz/ndev interior cells plus 2*n_guard halo cells; n_guard defaults
+    to the finite-order stencil reach + 1 (reference:
+    boundary_communicator.py:240-250).
+
+    Moving window / continuous injection / open-z damping work on the
+    decomposed grid: the damping profile is the global one sliced per
+    rank, removal thresholds and the injection plane are global, and
+    only the last rank writes injected particles (the replicated ring
+    bookkeeping advances on every rank).
+
     state arrays are globally shaped: fields (Nm, ndev*Nzl, Nr) sharded
-    along z; particle arrays (ndev*cap,) sharded.  aux is replicated.
+    along z; particle arrays (ndev*cap,) sharded.  aux is replicated
+    (built from the LOCAL grid config -- use local_aux()).
+
+    Returns (multi_step, config_local).
+    multi_step(state, aux, n_steps, inj_auxes=(), ion_auxes=(),
+               antenna_series=(), comp_auxes=()).
     """
-    g = config_local.n_guard
+    ndev = mesh.devices.size
+    if n_guard is None:
+        from ..fields.stencil import get_stencil_reach
+        from ..constants import c as c_light
+        if config_global.n_order == -1:
+            raise ValueError(
+                "Multi-chip decomposition needs a finite stencil order "
+                "(n_order > 0), like the reference's MPI mode.")
+        n_guard = get_stencil_reach(
+            config_global.Nz, config_global.dz,
+            c_light * config_global.dt, config_global.n_order,
+            config_global.v_comoving, config_global.use_galilean) + 1
+    g = int(n_guard)
+    config_local = local_grid_config(config_global, ndev, g)
+    Nz_int = config_local.Nz - 2 * g
+    dz = config_local.dz
+    global_open = config_global.boundaries_z == "open"
+
+    # Global damping profile, padded by g zero cells at each end so a
+    # rank's halo cells beyond the global box are damped to zero (they
+    # receive ring-wrapped garbage after the moving-window shift).
+    damp_padded = None
+    if global_open and config_global.nz_damp > 0:
+        from ..fields.solver import _damp_profile_z
+        prof = _damp_profile_z(config_global)
+        damp_padded = jnp.asarray(
+            np.pad(prof, g, mode="constant"), jnp.float64
+            if jax.config.jax_enable_x64 else jnp.float32)
 
     class Halo:
-        """ppermute-based guard exchange, passed as make_step_fn hook."""
+        """Exchange + global-geometry hooks for the decomposed step."""
 
         def exchange_add(self, fields):
             return exchange_guards_add(fields, g, axis_name)
@@ -207,28 +289,67 @@ def make_multichip_step(config_local: GridConfig, species_configs,
         def exchange_replace(self, fields):
             return exchange_guards_replace(fields, g, axis_name)
 
+        def global_zmin(self, zmin_local):
+            idx = jax.lax.axis_index(axis_name)
+            return zmin_local - (idx * Nz_int - g) * dz
+
+        def removal_bounds(self, zmin_g):
+            if not global_open:
+                inf = jnp.asarray(np.inf, zmin_g.dtype)
+                return (-inf, inf)
+            ng = max(config_global.n_guard, 1)
+            return (zmin_g + ng * dz,
+                    zmin_g + (config_global.Nz - ng) * dz)
+
+        def grid_globals(self, zmin_g):
+            return (zmin_g, config_global.Nz, config_global.n_guard,
+                    config_global.n_inject)
+
+        def is_last(self):
+            return jax.lax.axis_index(axis_name) == ndev - 1
+
+        def damp_profile(self):
+            if damp_padded is None:
+                return None
+            idx = jax.lax.axis_index(axis_name)
+            return jax.lax.dynamic_slice(
+                damp_padded, (idx * Nz_int,), (config_local.Nz,))
+
     base_step = step_mod.make_step_fn(config_local, species_configs,
                                       options, halo=Halo())
 
-    def local_step(state: SimState, aux):
+    def local_step(state: SimState, aux, inj_auxes, ion_auxes,
+                   antenna_series, comp_auxes):
         # This device's slab position: state.zmin is the GLOBAL left edge
         idx = jax.lax.axis_index(axis_name)
-        Nz_int = config_local.Nz - 2 * g
         zmin_global = state.zmin
-        zmin_local = zmin_global + (idx * Nz_int - g) * config_local.dz
+        zmin_local = zmin_global + (idx * Nz_int - g) * dz
 
         # 1. Particle migration across slab boundaries
-        species = tuple(
-            migrate_particles(sp, config_local, zmin_local, axis_name,
-                              migration_buffer)
-            for sp in state.species)
-        state = dataclasses.replace(state, species=species,
-                                    zmin=zmin_local)
+        species = []
+        n_lost = jnp.zeros((), jnp.int32)
+        for sp in state.species:
+            sp, lost = migrate_particles(sp, config_local, zmin_local,
+                                         axis_name, migration_buffer,
+                                         global_open=global_open)
+            species.append(sp)
+            n_lost = n_lost + lost
+        overflow = state.migration_overflow
+        if overflow is None:
+            overflow = jnp.zeros((), jnp.int32)
+        overflow = overflow + jax.lax.psum(n_lost, axis_name)
+        state = dataclasses.replace(state, species=tuple(species),
+                                    zmin=zmin_local,
+                                    migration_overflow=overflow)
 
         # 2. Local PIC cycle (halo exchanges happen inside, at the
         #    reference's points in the cycle)
-        state = base_step(state, aux)
-        return dataclasses.replace(state, zmin=zmin_global)
+        state = base_step(state, aux, inj_auxes, ion_auxes,
+                          antenna_series, comp_auxes)
+        # Back to the global frame, keeping any moving-window shift
+        # the step applied to the local edge
+        shift = state.zmin - zmin_local
+        return dataclasses.replace(state, zmin=zmin_global + shift)
 
     def state_specs(state):
         """PartitionSpec pytree: z axis of fields, particle axis sharded."""
@@ -243,21 +364,39 @@ def make_multichip_step(config_local: GridConfig, species_configs,
         return jax.tree_util.tree_unflatten(
             treedef, [spec_leaf(p, l) for p, l in flat])
 
-    def multi_step(state, aux, n_steps):
+    def multi_step(state, aux, n_steps, inj_auxes=(), ion_auxes=(),
+                   antenna_series=(), comp_auxes=()):
+        if state.migration_overflow is None:
+            state = dataclasses.replace(
+                state, migration_overflow=jnp.zeros((), jnp.int32))
         specs = state_specs(state)
-        aux_specs = jax.tree_util.tree_map(lambda _: P(), aux)
+        rep = jax.tree_util.tree_map(lambda _: P(), (
+            aux, inj_auxes, ion_auxes, antenna_series, comp_auxes))
 
-        def body(state_local, aux_local):
+        def body(state_local, aux_local, inj_l, ion_l, ant_l, comp_l):
+            if state_local.migration_overflow is None:
+                # Keep the fori_loop carry structure fixed
+                state_local = dataclasses.replace(
+                    state_local,
+                    migration_overflow=jnp.zeros((), jnp.int32))
             def one(i, s):
-                return local_step(s, aux_local)
+                return local_step(s, aux_local, inj_l, ion_l, ant_l,
+                                  comp_l)
             return jax.lax.fori_loop(0, n_steps, one, state_local)
 
         sharded = shard_map(
-            body, mesh=mesh, in_specs=(specs, aux_specs),
+            body, mesh=mesh, in_specs=(specs,) + rep,
             out_specs=specs, check_vma=False)
-        return sharded(state, aux)
+        return sharded(state, aux, inj_auxes, ion_auxes, antenna_series,
+                       comp_auxes)
 
-    return multi_step
+    return multi_step, config_local
+
+
+def local_aux(config_local: GridConfig, **kwargs):
+    """Field aux for one slab (replicated across the mesh)."""
+    from ..fields.solver import build_field_aux
+    return build_field_aux(config_local, **kwargs)
 
 
 def build_multichip_state(config_global: GridConfig, config_local,

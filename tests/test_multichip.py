@@ -81,12 +81,12 @@ def test_multichip_parity_plasma_wave():
 
     # ---------------- 4-device decomposed run
     n_guard = 24
-    config_loc = dom.local_grid_config(config1, N_DEV, n_guard)
-    aux_loc = build_field_aux(config_loc)
     mesh = make_mesh(N_DEV, axis_name="z")
+    mstep, config_loc = dom.make_multichip_step(
+        config1, (sc,), options, mesh, axis_name="z",
+        migration_buffer=1024, n_guard=n_guard)
+    aux_loc = build_field_aux(config_loc)
     state4 = dom.build_multichip_state(config1, config_loc, N_DEV, [parts])
-    mstep = dom.make_multichip_step(config_loc, (sc,), options, mesh,
-                                    axis_name="z", migration_buffer=1024)
     state4 = jax.block_until_ready(
         jax.jit(mstep, static_argnums=2)(state4, aux_loc, N_STEP))
 
@@ -117,3 +117,65 @@ def test_multichip_parity_plasma_wave():
 
 if __name__ == "__main__":
     test_multichip_parity_plasma_wave()
+
+
+def test_multichip_lwfa_moving_window():
+    """Production multi-chip path: open-z boundaries + moving window +
+    continuous injection, decomposed over 4 devices via
+    distribute_simulation, must match the single-chip run (the analog
+    of the reference's 2-rank LWFA MPI tests).
+
+    Both runs use exchange_period=1 so the injection/removal schedule
+    (and its PRNG stream consumption) is identical.
+    """
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs %d devices" % N_DEV)
+    from fbpic_tpu import Simulation
+    from fbpic_tpu.constants import m_e as me_, e as e_
+    from fbpic_tpu.lpa_utils.laser import add_laser_pulse, GaussianLaser
+    from fbpic_tpu.parallel.api import distribute_simulation
+    from fbpic_tpu.fields import transform as tr2
+
+    NZ_PHYS, NR, NM = 130, 20, 2
+    ZMAX, ZMIN, RMAX = 12.e-6, -4.e-6, 10.e-6
+    dz = (ZMAX - ZMIN) / NZ_PHYS
+    dt_ = dz / c
+    N_STEPS = 50
+
+    def build():
+        sim = Simulation(
+            NZ_PHYS, ZMAX, NR, RMAX, NM, dt_,
+            p_zmin=2.e-6, p_zmax=200.e-6, p_rmin=0., p_rmax=9.e-6,
+            p_nz=1, p_nr=2, p_nt=4, n_e=5.e24, zmin=ZMIN,
+            n_order=16, boundaries={"z": "open", "r": "reflective"},
+            exchange_period=1, random_seed=0, verbose_level=0)
+        add_laser_pulse(sim, GaussianLaser(a0=0.5, waist=4.e-6,
+                                           tau=8.e-15, z0=6.e-6))
+        sim.set_moving_window(v=c)
+        return sim
+
+    # Single-chip reference
+    sim1 = build()
+    sim1.step(N_STEPS, show_progress=False)
+    Ez1 = tr2.spect2interp_scal(sim1.aux.mats,
+                                sim1.state.spect.Ez).to_numpy()[0]
+
+    # Distributed run (pad the internal grid to a multiple of N_DEV by
+    # choice of parameters; check and skip if the internal Nz doesn't
+    # divide -- the constructor controls it via Nz + edge cells)
+    sim4 = build()
+    if sim4.config.Nz % N_DEV != 0:
+        pytest.skip("internal Nz=%d not divisible by %d"
+                    % (sim4.config.Nz, N_DEV))
+    run = distribute_simulation(sim4, n_devices=N_DEV)
+    run.step(N_STEPS)
+    Ez4 = run.get_interp_field("Ez", m=0)
+
+    scale = np.abs(Ez1).max()
+    err = np.abs(Ez4 - Ez1).max() / scale
+    print("multichip LWFA max rel deviation:", err)
+    assert scale > 0
+    # Deviation is the per-slab current-correction locality (~1e-3 at
+    # 50 steps); everything else is parity-exact (vacuum window run:
+    # 5e-13)
+    assert err < 5e-3
