@@ -349,6 +349,10 @@ class Simulation:
         self.external_fields = []
         self.mirrors = []
         self.comm = None        # populated by the multi-chip layer
+        # Reference-API alias: scripts pass `sim.fld` to FieldDiagnostic
+        # (reference main.py keeps fields in a separate Fields object;
+        # here the Simulation owns them directly)
+        self.fld = self
 
         self._step_fns = {}     # cache: StepOptions -> jitted step
 
@@ -467,11 +471,14 @@ class Simulation:
                 max_cols = int(np.ceil(
                     self.exchange_period * (c * self.config.dt
                                             / self.config.dz) * p_nz)) + 4
+                from ..particles.injection import ensure_traceable_dens
                 injector_cfg = InjectorConfig(
                     dz_particles=dz_particles, n=n,
                     ux_m=ux_m, uy_m=uy_m, uz_m=uz_m,
                     ux_th=ux_th, uy_th=uy_th, uz_th=uz_th,
-                    dens_func=dens_func, dens_args=dens_args or "zr",
+                    dens_func=ensure_traceable_dens(
+                        dens_func, dens_args or "zr"),
+                    dens_args=dens_args or "zr",
                     max_inject_cols=max_cols)
                 injector_aux = build_injector_aux(
                     Npr, p_rmin_, p_rmax_, p_nt, injector_cfg,

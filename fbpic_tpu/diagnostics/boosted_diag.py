@@ -217,6 +217,9 @@ class BackTransformedParticleDiagnostic(OpenPMDDiagnostic):
         for name, view in self.species_dict.items():
             cur = {k: getattr(view, k) for k in
                    ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w")}
+            state = view._state
+            if state.ids is not None:
+                cur["ids"] = np.asarray(state.ids)[:len(cur["w"])]
             prev = self._prev.get(name)
             self._prev[name] = cur
             if prev is None or len(prev["z"]) != len(cur["z"]):
@@ -239,12 +242,15 @@ class BackTransformedParticleDiagnostic(OpenPMDDiagnostic):
                 z_lab = gamma * (sel["z"] + beta * c * t_b)
                 keep = (z_lab >= snap["zmin_lab"]) & \
                     (z_lab < snap["zmax_lab"])
-                snap["buffers"].append(dict(
+                buf = dict(
                     x=sel["x"][keep], y=sel["y"][keep], z=z_lab[keep],
                     ux=sel["ux"][keep], uy=sel["uy"][keep],
                     uz=uz_lab[keep], w=sel["w"][keep],
                     inv_gamma=1.0 / gamma_lab[keep],
-                    species=name))
+                    species=name)
+                if "ids" in sel:
+                    buf["ids"] = sel["ids"][keep]
+                snap["buffers"].append(buf)
         # Flush snapshots whose plane has left the box
         for i, snap in enumerate(self.snapshots):
             z_plane = (snap["t_lab"] / gamma - t_b) * c / beta
@@ -254,19 +260,26 @@ class BackTransformedParticleDiagnostic(OpenPMDDiagnostic):
 
     def _flush(self, i, snap):
         import h5py
+        from .particle_diag import write_openpmd_species_arrays
         filename = "particles%08d.h5" % i
         fullpath = os.path.join(self.write_dir, "hdf5", filename)
         with h5py.File(fullpath, "w") as f:
             self.setup_openpmd_file(f, i, snap["t_lab"], 0.0)
-            for name in self.species_dict:
+            for name, view in self.species_dict.items():
                 bufs = [b for b in snap["buffers"] if b["species"] == name]
                 grp = f.require_group("/data/%d/particles/%s" % (i, name))
+                arrays = {}
                 for key in ("x", "y", "z", "ux", "uy", "uz", "w"):
                     if bufs:
-                        data = np.concatenate([b[key] for b in bufs])
+                        arrays[key] = np.concatenate(
+                            [b[key] for b in bufs])
                     else:
-                        data = np.zeros(0)
-                    grp.create_dataset(key, data=data)
+                        arrays[key] = np.zeros(0)
+                ids = None
+                if bufs and "ids" in bufs[0]:
+                    ids = np.concatenate([b["ids"] for b in bufs])
+                write_openpmd_species_arrays(
+                    grp, arrays, view.q, view.m, ids=ids)
 
 
 BoostedParticleDiagnostic = BackTransformedParticleDiagnostic

@@ -125,10 +125,26 @@ class ParticleDiagnostic(OpenPMDDiagnostic):
                     self._write_component(grp, "id", ids()[mask])
                     self._setup_record(grp["id"], "id")
             elif quantity in ("E", "B"):
-                # Fields gathered at particle positions are not stored in
-                # the state between steps; skip silently (as reference
-                # does when unavailable).
-                continue
+                # Gather the current grid fields at the particle
+                # positions (reference gathers into species.Ex.. buffers
+                # during the step, particle_diag.py; here the gather
+                # rides the stored interpolation grid at write time)
+                sim = view._sim
+                if sim is None:
+                    continue
+                from ..particles.gather import gather_fields_linear
+                cfg = sim.config
+                comps = gather_fields_linear(
+                    getters["x"](), getters["y"](), getters["z"](),
+                    sim.state.interp, sim.get_rmax_gather(),
+                    1.0 / cfg.dz, sim.state.zmin, cfg.Nz,
+                    1.0 / cfg.dr, 0.0, cfg.Nr)
+                trio = comps[:3] if quantity == "E" else comps[3:]
+                sub = grp.require_group(quantity)
+                for comp, vals in zip("xyz", trio):
+                    self._write_component(sub, comp,
+                                          np.asarray(vals)[mask])
+                self._setup_record(sub, quantity)
             else:
                 raise ValueError("Invalid particle_data: %s" % quantity)
 
@@ -155,3 +171,62 @@ def _quantity_getters(view):
         n_active = view.Ntot
         getters["id"] = lambda: np.asarray(state.ids)[:n_active]
     return getters
+
+
+def write_openpmd_species_arrays(grp, arrays, q, m, ids=None):
+    """Write plain numpy particle arrays as openPMD records.
+
+    arrays: dict with x, y, z, ux, uy, uz, w (SI / dimensionless u).
+    Used by the back-transformed particle diagnostic so its output has
+    the same layout as ParticleDiagnostic (position/momentum groups
+    with unitDimension etc.; reference boosted_particle_diag.py writes
+    through the same OpenPMDDiagnostic machinery).
+    """
+    n = len(arrays["w"])
+
+    def setup(dset, quantity):
+        dset.attrs["unitDimension"] = unit_dimension_dict[quantity]
+        dset.attrs["timeOffset"] = 0.0
+        dset.attrs["macroWeighted"] = macro_weighted_dict[quantity]
+        dset.attrs["weightingPower"] = weighting_power_dict[quantity]
+
+    def write_comp(g, name, data):
+        if name in g:
+            del g[name]
+        dset = g.create_dataset(name, data=np.asarray(data))
+        dset.attrs["unitSI"] = 1.0
+        return dset
+
+    for record, value in (("charge", q), ("mass", m)):
+        sub = grp.require_group(record)
+        sub.attrs["value"] = value
+        sub.attrs["shape"] = np.array([n], dtype=np.uint64)
+        sub.attrs["unitDimension"] = unit_dimension_dict[record]
+        sub.attrs["timeOffset"] = 0.0
+        sub.attrs["macroWeighted"] = macro_weighted_dict[record]
+        sub.attrs["weightingPower"] = weighting_power_dict[record]
+        sub.attrs["unitSI"] = 1.0
+
+    sub = grp.require_group("position")
+    for comp in "xyz":
+        write_comp(sub, comp, arrays[comp])
+    setup(sub, "position")
+    sub2 = grp.require_group("positionOffset")
+    for comp in "xyz":
+        g2 = sub2.require_group(comp)
+        g2.attrs["value"] = 0.0
+        g2.attrs["shape"] = np.array([n], dtype=np.uint64)
+        g2.attrs["unitSI"] = 1.0
+    setup(sub2, "positionOffset")
+
+    sub = grp.require_group("momentum")
+    for comp in "xyz":
+        write_comp(sub, comp, np.asarray(arrays["u" + comp]) * m * c)
+    setup(sub, "momentum")
+
+    dset = write_comp(grp, "weighting", arrays["w"])
+    setup(dset, "weighting")
+
+    if ids is not None:
+        dset = write_comp(grp, "id", ids)
+        setup(dset, "id")

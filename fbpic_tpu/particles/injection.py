@@ -83,6 +83,43 @@ def build_injector_aux(Npr, rmin, rmax, Nptheta, injector: InjectorConfig,
     )
 
 
+
+
+def ensure_traceable_dens(func, dens_args):
+    """Return a jit-traceable version of a user density function.
+
+    Reference input scripts write ``dens_func`` with plain numpy
+    (np.ones_like, np.where ...), which breaks under jit tracing.  If
+    the function does not trace, wrap it in ``jax.pure_callback`` so
+    the host evaluates it with real numpy arrays during the in-jit
+    continuous injection (correct, at the cost of one host round trip
+    per injection).  jnp-written functions pass through untouched.
+    """
+    if func is None:
+        return None
+    keys = ("z", "r") if dens_args != "xyz" else ("x", "y", "z")
+    probe = jax.ShapeDtypeStruct((4,), jnp.float32)
+    try:
+        jax.eval_shape(lambda **kw: jnp.asarray(func(**kw)),
+                       **{k: probe for k in keys})
+        return func
+    except Exception:
+        pass
+
+    def wrapped(**kwargs):
+        vals = [kwargs[k] for k in keys]
+        out_spec = jax.ShapeDtypeStruct(vals[0].shape, vals[0].dtype)
+
+        def host(*arrays):
+            out = func(**{k: np.asarray(a)
+                          for k, a in zip(keys, arrays)})
+            return np.asarray(out, dtype=vals[0].dtype)
+
+        return jax.pure_callback(host, out_spec, *vals,
+                                 vmap_method="sequential")
+    return wrapped
+
+
 def generate_columns(inj_cfg: InjectorConfig, inj_aux: InjectorAux,
                      z_end, n_cols, key, dtype):
     """Generate max_inject_cols candidate columns starting at z_end.

@@ -86,3 +86,72 @@ def test_checkpoint_restart(tmp_path):
     sim2.step(5, show_progress=False)
     np.testing.assert_allclose(sim2.get_interp_field("Ez"), Ez_15,
                                rtol=0, atol=0)
+
+
+def test_particle_diag_EB_output(tmp_path):
+    """Requested per-particle E/B must be gathered and written as
+    openPMD records (reference particle_diag.py writes species.Ex..)."""
+    sim = _make_sim()
+    wdir = str(tmp_path / "diags_eb")
+    sim.diags.append(ParticleDiagnostic(
+        2, species={"electrons": sim.ptcl[0]}, write_dir=wdir,
+        particle_data=("position", "momentum", "weighting", "E", "B"),
+        sim=sim))
+    # Put a known uniform Ez in the box so the gathered value is easy
+    # to check (vacuum: fields stay ~constant over 2 steps)
+    sim.step(2, show_progress=False)
+    f = h5py.File(os.path.join(wdir, "hdf5", "data%08d.h5" % 2), "r")
+    sp = f["/data/2/particles/electrons"]
+    for rec in ("E", "B"):
+        assert rec in sp, f"missing {rec} record"
+        for comp in "xyz":
+            assert comp in sp[rec]
+        assert "unitDimension" in sp[rec].attrs
+    n = sp["weighting"].shape[0]
+    assert sp["E/x"].shape[0] == n
+    f.close()
+
+
+def test_btf_particle_diag_openpmd_layout(tmp_path):
+    """Back-transformed particle snapshots must be openPMD records
+    (position/momentum/weighting groups), not flat arrays
+    (reference: boosted_particle_diag.py)."""
+    from fbpic_tpu.diagnostics import BackTransformedParticleDiagnostic
+    from fbpic_tpu.lpa_utils.boosted_frame import BoostConverter
+
+    gamma_b = 5.0
+    from fbpic_tpu.constants import m_e
+    sim = Simulation(Nz, zmax, Nr, rmax, Nm, dt, random_seed=0)
+    elec = sim.add_new_species(q=-e, m=m_e, n=1.e24, p_nz=1, p_nr=1,
+                               p_nt=4, p_zmin=0., p_zmax=zmax,
+                               p_rmax=6.e-6, uz_m=10.0)
+    wdir = str(tmp_path / "btf")
+    diag = BackTransformedParticleDiagnostic(
+        zmin_lab=0., zmax_lab=zmax, v_lab=0.,
+        dt_snapshots_lab=3 * dt, Ntot_snapshots_lab=2,
+        gamma_boost=gamma_b, period=1, sim=sim,
+        species={"electrons": elec}, write_dir=wdir)
+    sim.diags.append(diag)
+    sim.step(8, show_progress=False)
+    # Force-flush any remaining snapshots
+    for i, snap in enumerate(diag.snapshots):
+        if not snap["written"]:
+            diag._flush(i, snap)
+            snap["written"] = True
+    fn = os.path.join(wdir, "hdf5", "particles%08d.h5")
+    found_any = False
+    for i in range(2):
+        path = fn % i
+        if not os.path.exists(path):
+            continue
+        with h5py.File(path, "r") as f:
+            sp = f["/data/%d/particles/electrons" % i]
+            for rec in ("position", "momentum", "weighting", "charge",
+                        "mass", "positionOffset"):
+                assert rec in sp, f"missing {rec}"
+            for comp in "xyz":
+                assert comp in sp["position"]
+                assert comp in sp["momentum"]
+            assert "unitDimension" in sp["position"].attrs
+            found_any = True
+    assert found_any, "no BTF particle files written"
