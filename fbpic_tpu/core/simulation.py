@@ -275,9 +275,12 @@ class Simulation:
                 exchange_period = 1
         self.exchange_period = max(1, int(exchange_period))
 
-        # Fused sorted-dense deposition (TPU only; tests on CPU use
-        # the scatter path).  May be overridden by the user after init.
-        self.use_fused_deposit = _on_accelerator()
+        # Fused sorted-dense deposition: default on accelerators (perf)
+        # AND on any float32 run (the fused path also computes the
+        # per-particle d(rho) the float32 current correction needs).
+        # f64 CPU tests keep the scatter path.  User-overridable.
+        from ..utils.dtypes import x64_enabled
+        self.use_fused_deposit = _on_accelerator() or not x64_enabled()
 
         self.config = GridConfig(
             Nz=Nz_total, Nr=Nr, Nm=Nm,
@@ -503,7 +506,8 @@ class Simulation:
             # per-column capacity at 2x the initial maximum column
             # occupancy (round up to a lane multiple).  On CPU
             # (tests) the scatter path stays the default.
-            if (_on_accelerator() and Ntot > 0
+            from ..utils.dtypes import x64_enabled
+            if ((_on_accelerator() or not x64_enabled()) and Ntot > 0
                     and self.config.particle_shape == "linear"
                     and not is_tracer):
                 cols = np.floor((np.asarray(z) - self.zmin)
@@ -800,6 +804,23 @@ class Simulation:
         done = 0
         it = self.iteration  # one host read; tracked host-side below
         writers = list(self.diags) + list(self.checkpoints)
+        # Back-transformed diagnostics extract their plane slices
+        # INSIDE the jitted chunk (device capture) so they do not force
+        # 1-step chunks + per-step host syncs
+        capture_writers = [w for w in writers
+                           if hasattr(w, "device_capture")]
+        plain_writers = [w for w in writers
+                         if not hasattr(w, "device_capture")]
+        capture_step = None
+        if capture_writers:
+            cap_fns = tuple(w.device_capture() for w in capture_writers)
+            key = (options, tuple(id(w) for w in capture_writers))
+            if key not in self._step_fns:
+                from .step import make_multi_step_capture
+                self._step_fns[key] = (make_multi_step_capture(
+                    self.config, tuple(self.species_configs), options,
+                    cap_fns), None)
+            capture_step = self._step_fns[key][0]
         progress = None
         if show_progress:
             from ..utils.printing import ProgressBar
@@ -812,8 +833,9 @@ class Simulation:
         max_chunk = int(_os.environ.get("FBPIC_TPU_MAX_CHUNK", "250"))
         while done < N:
             chunk = min(N - done, max_chunk)
-            if writers:
-                period = min(getattr(d, "period", N) for d in writers)
+            if plain_writers:
+                period = min(getattr(d, "period", N)
+                             for d in plain_writers)
                 next_boundary = period - (it % period)
                 chunk = min(chunk, max(1, next_boundary))
             antenna_series = ()
@@ -827,15 +849,24 @@ class Simulation:
                         series, it0=jnp.asarray(it, jnp.int32))
                     series_list.append(series)
                 antenna_series = tuple(series_list)
-            self.state = step_fn(self.state, self.aux, chunk, inj_auxes,
-                                 ion_auxes, antenna_series, comp_auxes)
+            if capture_step is not None:
+                self.state, caps = capture_step(
+                    self.state, self.aux, chunk, inj_auxes, ion_auxes,
+                    antenna_series, comp_auxes)
+            else:
+                self.state = step_fn(self.state, self.aux, chunk,
+                                     inj_auxes, ion_auxes,
+                                     antenna_series, comp_auxes)
             done += chunk
             it += chunk
             if progress is not None:
                 jax.block_until_ready(self.state)
                 progress.time(done)
                 progress.print_progress()
-            for writer in writers:
+            if capture_step is not None:
+                for w, cap in zip(capture_writers, caps):
+                    w.process_chunk(self, cap)
+            for writer in plain_writers:
                 writer.write(self)
         # Block so that wall-clock timing by callers is meaningful
         jax.block_until_ready(self.state)

@@ -127,13 +127,15 @@ def deposit_rho_spect(config, aux, species, species_configs, zmin,
                 sp.x, sp.y, sp.z, w_eff, sc.q, config.Nm,
                 1.0 / config.dz, zmin, config.Nz,
                 1.0 / config.dr, 0.0, config.Nr,
-                aux.ruyten_cubic, zfold=_zfold(config))
+                aux.ruyten_cubic, zfold=_zfold(config),
+                comp=_comp_of(sp))
         else:
             contrib = deposit_rho_linear(
                 sp.x, sp.y, sp.z, w_eff, sc.q, config.Nm,
                 1.0 / config.dz, zmin, config.Nz,
                 1.0 / config.dr, 0.0, config.Nr,
-                aux.ruyten_linear, zfold=_zfold(config))
+                aux.ruyten_linear, zfold=_zfold(config),
+                comp=_comp_of(sp))
         rho = contrib if rho is None else rho + contrib
     if rho is None:
         rho = CArr.zeros((config.Nm, config.Nz, config.Nr),
@@ -177,14 +179,16 @@ def deposit_J_spect(config, aux, species, species_configs, zmin,
                 sp.ux, sp.uy, sp.uz, sp.inv_gamma, config.Nm,
                 1.0 / config.dz, zmin, config.Nz,
                 1.0 / config.dr, 0.0, config.Nr,
-                aux.ruyten_cubic, zfold=_zfold(config))
+                aux.ruyten_cubic, zfold=_zfold(config),
+                comp=_comp_of(sp))
         else:
             contrib = deposit_J_linear(
                 sp.x, sp.y, sp.z, w_eff, sc.q,
                 sp.ux, sp.uy, sp.uz, sp.inv_gamma, config.Nm,
                 1.0 / config.dz, zmin, config.Nz,
                 1.0 / config.dr, 0.0, config.Nr,
-                aux.ruyten_linear, zfold=_zfold(config))
+                aux.ruyten_linear, zfold=_zfold(config),
+                comp=_comp_of(sp))
         if JrJtJz is None:
             JrJtJz = list(contrib)
         else:
@@ -244,7 +248,11 @@ def push_fields(config: GridConfig, aux: FieldAux, spect: SpectralFields,
 
 
 def correct_currents(config: GridConfig, aux: FieldAux,
-                     spect: SpectralFields) -> SpectralFields:
+                     spect: SpectralFields, drho=None) -> SpectralFields:
+    """`drho`: optionally the directly-deposited rho_next - rho_prev
+    (per-particle shape differences) -- float32 runs lose the
+    wake-scale d(rho)/dt to rounding of the huge background when the
+    difference is taken between the two deposited grids."""
     inv_dt = 1.0 / config.dt
     if config.current_correction == "curl-free":
         if config.use_comoving:
@@ -252,6 +260,10 @@ def correct_currents(config: GridConfig, aux: FieldAux,
                 spect.rho_prev, spect.rho_next, spect.Jp, spect.Jm, spect.Jz,
                 aux.kz, aux.kr, aux.inv_k2, aux.j_corr_coef, aux.T_eb,
                 aux.T_cc, inv_dt)
+        elif drho is not None:
+            Jp, Jm, Jz = ps.correct_currents_curlfree_standard(
+                None, None, spect.Jp, spect.Jm, spect.Jz,
+                aux.kz, aux.kr, aux.inv_k2, inv_dt, drho=drho)
         else:
             Jp, Jm, Jz = ps.correct_currents_curlfree_standard(
                 spect.rho_prev, spect.rho_next, spect.Jp, spect.Jm, spect.Jz,
@@ -315,6 +327,13 @@ def _wrap_z_periodic(config: GridConfig, z, zmin):
     return zmin + jnp.mod(z - zmin, Lz)
 
 
+def _comp_of(sp):
+    """(comp_x, comp_y, comp_z) tuple or None (f64 runs)."""
+    if sp.comp_x is None:
+        return None
+    return (sp.comp_x, sp.comp_y, sp.comp_z)
+
+
 def gather_and_push(config: GridConfig, options: StepOptions, sp, sc,
                     interp, zmin, dt, time=None, species_index=None):
     """Gather E,B at particles, Vay-push momenta, half-step positions;
@@ -326,6 +345,7 @@ def gather_and_push(config: GridConfig, options: StepOptions, sp, sc,
         sp.x, sp.y, sp.z, interp, options.rmax_gather,
         1.0 / config.dz, zmin, config.Nz,
         1.0 / config.dr, 0.0, config.Nr,
+        comp=_comp_of(sp),
     )
     E, B = EB[:3], EB[3:]
     if options.external_fields:
@@ -350,6 +370,12 @@ def gather_and_push(config: GridConfig, options: StepOptions, sp, sc,
 def half_push_x(config: GridConfig, options: StepOptions, sp, zmin):
     if not options.move_positions:
         return sp
+    if sp.comp_x is not None:
+        x, y, z, cx, cy, cz = pp.push_x_compensated(sp, 0.5 * config.dt)
+        if config.boundaries_z == "periodic":
+            z = _wrap_z_periodic(config, z, zmin)
+        return dataclasses.replace(sp, x=x, y=y, z=z,
+                                   comp_x=cx, comp_y=cy, comp_z=cz)
     x, y, z = pp.push_x(sp, 0.5 * config.dt)
     if config.boundaries_z == "periodic":
         z = _wrap_z_periodic(config, z, zmin)
@@ -406,7 +432,9 @@ def damp_EB_z(config, aux, spect: SpectralFields, profile,
     if halo is not None:
         partial = halo.exchange_replace(partial)
     if profile is not None:
-        damp = profile[None, :, None]
+        # (Nz,) damping or (Nm, Nz) per-mode (mode-filtered mirrors)
+        damp = (profile[None, :, None] if profile.ndim == 1
+                else profile[:, :, None])
         partial = [f * damp for f in partial]
     back = tr.fft_z_many(aux.mats, partial)
     return dataclasses.replace(spect, **dict(zip(names, back)))
@@ -426,15 +454,44 @@ def _z_profile(config, options, aux, zmin, time, halo=None):
     if options.mirrors:
         z_cells = zmin + (jnp.arange(config.Nz, dtype=zmin.dtype) + 0.5) \
             * config.dz
-        mask = jnp.ones_like(z_cells)
+        # Per-mode mask: a mirror may filter only selected azimuthal
+        # modes (reference mirrors.py:51 honors `m`)
+        mask = jnp.ones((config.Nm, config.Nz), dtype=z_cells.dtype)
         for mirror in options.mirrors:
             z0, v = mirror.z_boost_and_beta()
             zm = z0 + v * time
             inside = (z_cells >= zm) & (z_cells < zm
                                         + mirror.n_cells * config.dz)
-            mask = jnp.where(inside, 0.0, mask)
-        profile = mask if profile is None else profile * mask
+            modes = (range(config.Nm) if mirror.m == "all"
+                     else ([mirror.m] if isinstance(mirror.m, int)
+                           else mirror.m))
+            for m in modes:
+                mask = mask.at[m].set(
+                    jnp.where(inside, 0.0, mask[m]))
+        if profile is not None:
+            mask = mask * profile[None, :]
+        profile = mask
     return profile
+
+
+def _two_word_ids(next_lo, next_hi, n):
+    """n consecutive 64-bit ids as (lo, hi) uint32 words starting at
+    (next_hi << 32) + next_lo."""
+    if next_hi is None:
+        next_hi = jnp.zeros((), jnp.uint32)
+    offs = jnp.arange(n, dtype=jnp.uint32)
+    lo = next_lo + offs
+    carry = (lo < next_lo).astype(jnp.uint32)   # wrapped past 2^32
+    return lo, next_hi + carry
+
+
+def _advance_id(next_lo, next_hi, n):
+    if next_hi is None:
+        next_hi = jnp.zeros((), jnp.uint32)
+    n = n.astype(jnp.uint32) if hasattr(n, "astype") else jnp.uint32(n)
+    lo = next_lo + n
+    carry = (lo < next_lo).astype(jnp.uint32)
+    return lo, next_hi + carry
 
 
 def _append_new_particles(esp, new):
@@ -448,12 +505,21 @@ def _append_new_particles(esp, new):
     for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
         updates[name] = write_ring(getattr(esp, name), esp.next_free,
                                    new[name], esp.capacity, mask)
+    for name in ("comp_x", "comp_y", "comp_z"):
+        arr = getattr(esp, name)
+        if arr is not None:
+            updates[name] = write_ring(arr, esp.next_free,
+                                       jnp.zeros_like(new["x"]),
+                                       esp.capacity, mask)
     if esp.ids is not None:
         nb = new["x"].shape[0]
-        new_ids = esp.next_id + jnp.arange(nb, dtype=esp.ids.dtype)
-        updates["ids"] = write_ring(esp.ids, esp.next_free, new_ids,
+        new_lo, new_hi = _two_word_ids(esp.next_id, esp.next_id_hi, nb)
+        updates["ids"] = write_ring(esp.ids, esp.next_free, new_lo,
                                     esp.capacity, mask)
-        updates["next_id"] = esp.next_id + n_new.astype(esp.ids.dtype)
+        updates["ids_hi"] = write_ring(esp.ids_hi, esp.next_free,
+                                       new_hi, esp.capacity, mask)
+        updates["next_id"], updates["next_id_hi"] = _advance_id(
+            esp.next_id, esp.next_id_hi, n_new)
     updates["next_free"] = jnp.mod(
         esp.next_free + n_new, esp.capacity).astype(jnp.int32)
     return dataclasses.replace(esp, **updates)
@@ -532,6 +598,12 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
         updates[name] = write_ring(getattr(sp, name), sp.next_free,
                                    new[name], cap, mask)
+    for name in ("comp_x", "comp_y", "comp_z"):
+        arr = getattr(sp, name)
+        if arr is not None:
+            updates[name] = write_ring(arr, sp.next_free,
+                                       jnp.zeros_like(new["x"]),
+                                       cap, mask)
     if sp.ionization_level is not None:
         lvl = (sc.ionizer.level_start if sc.ionizer is not None else 0)
         new_lvl = jnp.full(n_write, lvl, dtype=jnp.int32)
@@ -539,11 +611,15 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
             sp.ionization_level, sp.next_free, new_lvl, cap, mask)
     if sp.ids is not None:
         n_write = new["x"].shape[0]
-        new_ids = sp.next_id + jnp.arange(n_write, dtype=jnp.uint32)
-        updates["ids"] = write_ring(sp.ids, sp.next_free, new_ids, cap,
+        new_lo, new_hi = _two_word_ids(sp.next_id, sp.next_id_hi,
+                                       n_write)
+        updates["ids"] = write_ring(sp.ids, sp.next_free, new_lo, cap,
                                     mask)
-        updates["next_id"] = sp.next_id + (
-            n_cols * col_size).astype(jnp.uint32)
+        updates["ids_hi"] = write_ring(sp.ids_hi, sp.next_free, new_hi,
+                                       cap, mask)
+        updates["next_id"], updates["next_id_hi"] = _advance_id(
+            sp.next_id, sp.next_id_hi,
+            (n_cols * col_size).astype(jnp.uint32))
     updates["next_free"] = jnp.mod(
         sp.next_free + n_cols * col_size, cap).astype(sp.next_free.dtype)
     updates["inj_z_end"] = new_z_end
@@ -697,6 +773,13 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # Skipped for cross-deposition (it deposits between the
         # half-pushes).
         fused_J = fused_rho = None
+        fused_drho = {}
+        # float32 runs: the current correction needs rho_next - rho_prev
+        # computed per particle (drho), not as a difference of grids
+        f32_mode = any(sp.x.dtype == jnp.float32 for sp in species)
+        want_drho = (f32_mode and options.correct_currents
+                     and config.current_correction == "curl-free"
+                     and not config.use_comoving)
         if (options.fused_deposit and sorts and options.move_positions
                 and not (options.correct_currents
                          and config.current_correction
@@ -708,14 +791,17 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 w_eff = sp.w
                 if sp.ionization_level is not None:
                     w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
-                Jr, Jt, Jzc, rho = deposit_rho_J_sorted(
+                out = deposit_rho_J_sorted(
                     sorts[i], sp.x, sp.y, sp.z, w_eff, sc.q,
                     sp.ux, sp.uy, sp.uz, sp.inv_gamma, 0.5 * config.dt,
                     config.Nm, 1.0 / config.dz, zmin, config.Nz,
                     1.0 / config.dr, 0.0, config.Nr,
-                    aux.ruyten_linear, zfold=_zfold(config))
-                fused_J[i] = (Jr, Jt, Jzc)
-                fused_rho[i] = rho
+                    aux.ruyten_linear, zfold=_zfold(config),
+                    comp=_comp_of(sp), with_drho=want_drho)
+                fused_J[i] = out[:3]
+                fused_rho[i] = out[3]
+                if want_drho:
+                    fused_drho[i] = out[4]
 
         # --- Current deposition at t = (n+1/2) dt
         Jp, Jm, Jz = deposit_J_spect(config, aux, species, species_configs,
@@ -733,6 +819,32 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             spect = _cross_deposit(config, options, aux, spect, species,
                                    species_configs, zmin, halo=halo)
 
+        # --- drho fallback for non-fused species in float32: their
+        # rho contribution at the PRE-push positions (grid difference;
+        # noisier than the per-particle fused path but these species
+        # are small by construction)
+        scatter_rho1 = {}
+        if want_drho:
+            for i, (sp, sc) in enumerate(zip(species, species_configs)):
+                if sc.is_tracer or (sorts is not None and i in sorts
+                                    and fused_J is not None):
+                    continue
+                w_eff = sp.w
+                if sp.ionization_level is not None:
+                    w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
+                dep = (deposit_rho_cubic if sc.particle_shape == "cubic"
+                       else deposit_rho_linear)
+                ruy = (aux.ruyten_cubic if sc.particle_shape == "cubic"
+                       else aux.ruyten_linear)
+                # Pull back to the START-of-step positions (x_n): the
+                # correction's difference spans the full step
+                x0, y0, z0 = pp.push_x(sp, -0.5 * config.dt)
+                scatter_rho1[i] = dep(
+                    x0, y0, z0, w_eff, sc.q, config.Nm,
+                    1.0 / config.dz, zmin, config.Nz,
+                    1.0 / config.dr, 0.0, config.Nr, ruy,
+                    zfold=_zfold(config), comp=_comp_of(sp))
+
         # --- Second half position push
         species = [half_push_x(config, options, sp, zmin) for sp in species]
 
@@ -743,6 +855,35 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             rho_next = ps.filter_scalar(rho_next, aux.filter_z, aux.filter_r)
         spect = dataclasses.replace(spect, rho_next=rho_next)
 
+        # --- float32: directly-deposited d(rho) for the correction
+        drho = None
+        if want_drho:
+            contribs = list(fused_drho.values())
+            for i, rho1 in scatter_rho1.items():
+                sp, sc = species[i], species_configs[i]
+                w_eff = sp.w
+                if sp.ionization_level is not None:
+                    w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
+                dep = (deposit_rho_cubic if sc.particle_shape == "cubic"
+                       else deposit_rho_linear)
+                ruy = (aux.ruyten_cubic if sc.particle_shape == "cubic"
+                       else aux.ruyten_linear)
+                rho2 = dep(
+                    sp.x, sp.y, sp.z, w_eff, sc.q, config.Nm,
+                    1.0 / config.dz, zmin, config.Nz,
+                    1.0 / config.dr, 0.0, config.Nr, ruy,
+                    zfold=_zfold(config), comp=_comp_of(sp))
+                contribs.append(rho2 - rho1)
+            if contribs:
+                tot = contribs[0]
+                for cturb in contribs[1:]:
+                    tot = tot + cturb
+                tot = tot * aux.invvol[:, None, :]
+                drho = tr.interp2spect_scal(aux.mats, tot)
+                if options.filter_currents:
+                    drho = ps.filter_scalar(drho, aux.filter_z,
+                                            aux.filter_r)
+
         # --- Current correction.  Multi-device: the correction runs on
         # the LOCAL (pre-exchange) sources -- it is linear, so the sum
         # of per-slab corrected currents satisfies the global
@@ -751,7 +892,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # overlap strips.  The corrected J and both rho's are then
         # guard-added so the field push sees total sources.
         if options.correct_currents:
-            spect = correct_currents(config, aux, spect)
+            spect = correct_currents(config, aux, spect, drho=drho)
         if halo is not None:
             fs = tr.ifft_z_many(aux.mats, [spect.Jp, spect.Jm, spect.Jz,
                                            spect.rho_next, spect.rho_prev])
@@ -772,8 +913,13 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # --- Moving window: shift the spectral fields and the grid edge
         if options.moving_window_v is not None:
             mw_zref = mw_zref + options.moving_window_v * dt
+            # Epsilon-guarded floor: with v = c and dt = dz/c the
+            # argument lands exactly on integers, and float rounding
+            # would make the shift TIMING jitter by a step between
+            # runs/precisions (physically benign but it breaks strict
+            # parity); the 1e-3-cell guard removes the knife edge
             n_move = jnp.floor((mw_zref - zmin_g) / config.dz
-                               ).astype(jnp.int32)
+                               + 1e-3).astype(jnp.int32)
             spect = shift_spectral_fields(config, aux, spect, n_move)
             zmin = zmin + n_move.astype(zmin.dtype) * config.dz
 
@@ -861,6 +1007,33 @@ def make_multi_step(config: GridConfig, species_configs,
             state)
 
     return jax.jit(multi_step, donate_argnums=(0,))
+
+
+def make_multi_step_capture(config: GridConfig, species_configs,
+                            options: StepOptions, capture_fns):
+    """N-step driver that also evaluates per-step capture functions
+    inside the device program (lax.scan; outputs stacked over steps).
+
+    capture_fns: tuple of cap(state, aux) -> small pytree.  Used by the
+    back-transformed diagnostics to extract their plane slices without
+    forcing 1-step chunks + per-step host syncs (reference extracts
+    slices with a CUDA kernel each step, boosted_field_diag.py:747).
+    n_steps is static (one compile per distinct chunk length).
+    """
+    step = make_step_fn(config, species_configs, options)
+
+    def multi_step(state: SimState, aux: FieldAux, n_steps,
+                   inj_auxes=(), ion_auxes=(),
+                   antenna_series=(), comp_auxes=()):
+        def body(s, _):
+            s2 = step(s, aux, inj_auxes, ion_auxes, antenna_series,
+                      comp_auxes)
+            caps = tuple(f(s2, aux) for f in capture_fns)
+            return s2, caps
+        state2, caps = jax.lax.scan(body, state, None, length=n_steps)
+        return state2, caps
+
+    return jax.jit(multi_step, static_argnums=(2,), donate_argnums=(0,))
 
 
 def _cross_deposit(config, options, aux, spect, species, species_configs,

@@ -135,6 +135,113 @@ class BackTransformedFieldDiagnostic(OpenPMDDiagnostic):
                     snap.data[name][:, iz_lab, :] = slc[name]
                 snap.filled[iz_lab] = True
 
+
+    # -----------------------------------------------------------------
+    # Device-resident capture (keeps chunked stepping intact: the
+    # per-step slice extraction happens INSIDE the jitted chunk via
+    # lax.scan -- the TPU analog of the reference's per-step CUDA
+    # extraction kernel, boosted_field_diag.py:747)
+    def device_capture(self):
+        import jax.numpy as jnp
+        from ..utils.complex_arr import CArr
+        sim = self.sim
+        cfg = sim.config
+        mats = sim.aux.mats
+        gamma, beta = self.gamma_boost, self.beta_boost
+        names = list(self.snapshots[0].names)
+        need_J = any(n.startswith("J") for n in names)
+        need_rho = "rho" in names
+        rdt = np.float64 if jnp.zeros(()).dtype == jnp.float64 \
+            else np.float32
+        t_lab = jnp.asarray([s.t_lab for s in self.snapshots])
+        Nz = cfg.Nz
+
+        def zcols(F, rows_re, rows_im):
+            re = (jnp.einsum("sk,mkr->msr", rows_re, F.re)
+                  - jnp.einsum("sk,mkr->msr", rows_im, F.im))
+            im = (jnp.einsum("sk,mkr->msr", rows_re, F.im)
+                  + jnp.einsum("sk,mkr->msr", rows_im, F.re))
+            return CArr(re, im)
+
+        def dht_cols(M, X):
+            return CArr(jnp.einsum("msr,mrk->msk", X.re, M),
+                        jnp.einsum("msr,mrk->msk", X.im, M))
+
+        def cap(state, aux):
+            t_b = state.time
+            z_b = (t_lab / gamma - t_b) * c / beta           # (S,)
+            z_lab = gamma * (z_b + beta * c * t_b)
+            iz_f = (z_b - state.zmin) / cfg.dz - 0.5
+            iz0 = jnp.clip(jnp.floor(iz_f).astype(jnp.int32), 0, Nz - 2)
+            s1 = jnp.clip(iz_f - iz0, 0.0, 1.0)
+            valid = (iz_f >= 0.0) & (iz_f <= Nz - 1.0)
+
+            out = {}
+            for name in ("Er", "Et", "Ez", "Br", "Bt", "Bz"):
+                if name not in names:
+                    continue
+                g = getattr(state.interp, name)
+                g0 = jnp.take(g.re, iz0, axis=1)             # (Nm, S, Nr)
+                g1 = jnp.take(g.re, iz0 + 1, axis=1)
+                re = (1 - s1)[None, :, None] * g0 \
+                    + s1[None, :, None] * g1
+                h0 = jnp.take(g.im, iz0, axis=1)
+                h1 = jnp.take(g.im, iz0 + 1, axis=1)
+                im = (1 - s1)[None, :, None] * h0 \
+                    + s1[None, :, None] * h1
+                out[name] = CArr(re, im)
+
+            if need_J or need_rho:
+                # Interpolated inverse-DFT rows (S, Nz): single-column
+                # spect->interp, z first then Hankel (they commute)
+                rows_re = ((1 - s1)[:, None] * mats.Wi_re[iz0]
+                           + s1[:, None] * mats.Wi_re[iz0 + 1])
+                rows_im = ((1 - s1)[:, None] * mats.Wi_im[iz0]
+                           + s1[:, None] * mats.Wi_im[iz0 + 1])
+            if need_rho:
+                cols = zcols(state.spect.rho_prev, rows_re, rows_im)
+                out["rho"] = dht_cols(mats.invM0, cols)
+            if need_J:
+                from ..fields.transform import pm_to_rt
+                p = dht_cols(mats.invMp,
+                             zcols(state.spect.Jp, rows_re, rows_im))
+                m_ = dht_cols(mats.invMm,
+                              zcols(state.spect.Jm, rows_re, rows_im))
+                Fr, Ft = pm_to_rt(p, m_)
+                out["Jr"], out["Jt"] = Fr, Ft
+                out["Jz"] = dht_cols(
+                    mats.invM0, zcols(state.spect.Jz, rows_re, rows_im))
+            return dict(valid=valid, z_lab=z_lab, slices=out)
+
+        return cap
+
+    def process_chunk(self, sim, caps):
+        """Consume the stacked per-step captures of one chunk."""
+        valid = np.asarray(caps["valid"])      # (T, S)
+        z_lab = np.asarray(caps["z_lab"])      # (T, S)
+        slices = {name: np.asarray(v.re) + 1j * np.asarray(v.im)
+                  for name, v in caps["slices"].items()}  # (T, Nm, S, Nr)
+        T = valid.shape[0]
+        for t in range(T):
+            for si, snap in enumerate(self.snapshots):
+                if snap.written or not valid[t, si]:
+                    continue
+                zl = z_lab[t, si]
+                if zl < snap.zmin_lab or zl >= snap.zmax_lab:
+                    continue
+                slc = {name: slices[name][t, :, si, :]
+                       for name in snap.names}
+                slc = self._to_lab_frame(slc)
+                iz_lab = int((zl - snap.zmin_lab) / snap.dz_lab)
+                if 0 <= iz_lab < snap.Nz_lab:
+                    for name in snap.names:
+                        snap.data[name][:, iz_lab, :] = slc[name]
+                    snap.filled[iz_lab] = True
+        for i, snap in enumerate(self.snapshots):
+            if snap.filled.all() and not snap.written:
+                self.flush_snapshot(i, snap)
+                snap.written = True
+
     def _to_lab_frame(self, slc):
         """Lorentz transform with -beta (reference:
         boosted_field_diag.py:694-742)."""
@@ -219,7 +326,13 @@ class BackTransformedParticleDiagnostic(OpenPMDDiagnostic):
                    ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w")}
             state = view._state
             if state.ids is not None:
-                cur["ids"] = np.asarray(state.ids)[:len(cur["w"])]
+                lo = np.asarray(state.ids)[:len(cur["w"])].astype(
+                    np.uint64)
+                if state.ids_hi is not None:
+                    hi = np.asarray(
+                        state.ids_hi)[:len(cur["w"])].astype(np.uint64)
+                    lo = (hi << np.uint64(32)) | lo
+                cur["ids"] = lo
             prev = self._prev.get(name)
             self._prev[name] = cur
             if prev is None or len(prev["z"]) != len(cur["z"]):

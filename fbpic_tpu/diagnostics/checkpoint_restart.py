@@ -117,8 +117,9 @@ def restart_from_checkpoint(sim, iteration=None,
     species = list(state.species)
     for i, sp in enumerate(species):
         updates = {}
-        for field in ("ids", "next_id", "ionization_level",
-                      "next_free", "inj_z_end"):
+        for field in ("ids", "ids_hi", "next_id", "next_id_hi",
+                      "ionization_level", "next_free", "inj_z_end",
+                      "comp_x", "comp_y", "comp_z"):
             key = ".species[%d].%s" % (i, field)
             if getattr(sp, field) is None and key in by_name:
                 updates[field] = jnp.asarray(by_name[key])

@@ -169,7 +169,14 @@ def _quantity_getters(view):
     state = view._state
     if state.ids is not None:
         n_active = view.Ntot
-        getters["id"] = lambda: np.asarray(state.ids)[:n_active]
+
+        def _get_ids():
+            lo = np.asarray(state.ids)[:n_active].astype(np.uint64)
+            if state.ids_hi is not None:
+                hi = np.asarray(state.ids_hi)[:n_active].astype(np.uint64)
+                return (hi << np.uint64(32)) | lo
+            return lo
+        getters["id"] = _get_ids
     return getters
 
 

@@ -140,11 +140,16 @@ def push_eb_pml_comoving(Ep_pml, Em_pml, Bp_pml, Bm_pml, Ez, Bz, C, S_w,
 
 
 def correct_currents_curlfree_standard(
-    rho_prev, rho_next, Jp, Jm, Jz, kz, kr, inv_k2, inv_dt
+    rho_prev, rho_next, Jp, Jm, Jz, kz, kr, inv_k2, inv_dt, drho=None
 ):
-    """Curl-free current correction (standard scheme)."""
+    """Curl-free current correction (standard scheme).
+
+    `drho`: optional directly-deposited rho_next - rho_prev (float32
+    runs; avoids the catastrophic cancellation of the background
+    density in the grid difference)."""
+    d = drho if drho is not None else (rho_next - rho_prev)
     F = (
-        (rho_next - rho_prev) * inv_dt
+        d * inv_dt
         + (Jz * kz).mul_i()
         + (Jp - Jm) * kr
     ) * (-inv_k2)

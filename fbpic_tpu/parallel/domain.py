@@ -136,7 +136,8 @@ def migrate_particles(sp, config_local, zmin, axis_name, buffer_size,
     z_hi = zmin + (Nzl - g) * dz
 
     fields = list(MIGRATION_FIELDS)
-    for name in ("ionization_level", "ids"):
+    for name in ("ionization_level", "ids", "ids_hi",
+                 "comp_x", "comp_y", "comp_z"):
         if getattr(sp, name) is not None:
             fields.append(name)
 

@@ -68,7 +68,8 @@ def _fold_guard_cells(buf, Nz, Nr, zfold="periodic"):
     return out
 
 
-def _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten):
+def _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten,
+              comp=None):
     """Linear-shape geometry: corner indices, weights, angles.
 
     Returns a dict with per-particle quantities; radial lower-corner
@@ -83,10 +84,20 @@ def _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten):
 
     iz_low = jnp.ceil(z_cell).astype(jnp.int32) - 1
     sz1 = z_cell - iz_low.astype(rdt)
-    sz0 = 1.0 - sz1
 
     ir_low = jnp.ceil(r_cell).astype(jnp.int32) - 1
     u = r_cell - ir_low.astype(rdt)
+    if comp is not None:
+        # Fold the Kahan position residuals into the SUB-CELL offsets
+        # (O(1) numbers), AFTER the big z_cell - iz_low cancellation:
+        # the residual displacement (sub-ULP of both the absolute
+        # position and the O(Nz) cell coordinate) is well above the
+        # ULP of the sub-cell offset, so the slow (wake-scale) motion
+        # survives in the shape weights
+        cx, cy, cz = comp
+        sz1 = sz1 + invdz * cz
+        u = u + invdr * ((x * cx + y * cy) / jnp.maximum(r, 1e-30))
+    sz0 = 1.0 - sz1
     bn_idx = jnp.clip(jnp.ceil(r_cell).astype(jnp.int32), 0, Nr)
     base0 = 1.0 - u
     corr = (1.0 - u) * u
@@ -202,13 +213,13 @@ def _unpack_channels(arr, n_components, Nm):
 
 
 def deposit_rho_linear(x, y, z, w, q, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
-                       ruyten_linear, zfold="periodic"):
+                       ruyten_linear, zfold="periodic", comp=None):
     """Deposit charge density (not yet divided by cell volume).
 
     Returns CArr (Nm, Nz, Nr).
     """
     geom = _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                     ruyten_linear)
+                     ruyten_linear, comp=comp)
     cos_m, sin_m = _mode_phases(geom["cos"], geom["sin"], Nm)
     wj = q * w
     rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m]),
@@ -222,10 +233,10 @@ def deposit_rho_linear(x, y, z, w, q, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
 
 def deposit_J_linear(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
                      invdz, zmin, Nz, invdr, rmin, Nr, ruyten_linear,
-                     zfold="periodic"):
+                     zfold="periodic", comp=None):
     """Deposit current density; returns (Jr, Jt, Jz) CArr (Nm, Nz, Nr)."""
     geom = _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                     ruyten_linear)
+                     ruyten_linear, comp=comp)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w
@@ -251,14 +262,17 @@ def deposit_J_linear(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
 # Cubic (third-order) shapes
 # ---------------------------------------------------------------------
 
-def _cubic_axis_weights(cell_pos):
+def _cubic_axis_weights(cell_pos, extra=None):
     """Cubic B-spline weights s0..s3 with i_low = ceil(pos) - 2.
 
-    u = pos - i_low - 1 in [0, 1); reference:
-    deposition/particle_shapes.py:42-56.
+    u = pos - i_low - 1 in [0, 1); `extra` is a sub-ULP-of-cell_pos
+    residual added AFTER the cancellation (Kahan position
+    compensation).  Reference: deposition/particle_shapes.py:42-56.
     """
     i_low = jnp.ceil(cell_pos).astype(jnp.int32) - 2
     u = cell_pos - i_low.astype(cell_pos.dtype) - 1.0
+    if extra is not None:
+        u = u + extra
     v = 1.0 - u
     s0 = (1.0 / 6.0) * v**3
     s1 = (1.0 / 6.0) * (3.0 * u**3 - 6.0 * u**2 + 4.0)
@@ -267,16 +281,24 @@ def _cubic_axis_weights(cell_pos):
     return i_low, u, (s0, s1, s2, s3)
 
 
-def _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr, ruyten_cubic):
+def _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
+                    ruyten_cubic, comp=None):
     """Cubic-shape geometry: 4x4 footprint weights and base index."""
     r, cos, sin = _cylindrical_projection(x, y)
     rdt = x.dtype
 
     r_cell = invdr * (r - rmin) - 0.5
     z_cell = invdz * (z - zmin) - 0.5
+    ez = er = None
+    if comp is not None:
+        # Kahan position residuals, folded into the sub-cell offsets
+        # inside _cubic_axis_weights (after the big cancellation)
+        cx, cy, cz = comp
+        ez = invdz * cz
+        er = invdr * ((x * cx + y * cy) / jnp.maximum(r, 1e-30))
 
-    iz_low, _, sz = _cubic_axis_weights(z_cell)
-    ir_low, u, sr_plain = _cubic_axis_weights(r_cell)
+    iz_low, _, sz = _cubic_axis_weights(z_cell, extra=ez)
+    ir_low, u, sr_plain = _cubic_axis_weights(r_cell, extra=er)
 
     # Ruyten correction on the two central points (+bn on s1, -bn on s2)
     bn_idx = jnp.clip(jnp.ceil(r_cell).astype(jnp.int32), 0, Nr)
@@ -337,10 +359,10 @@ def _deposit_channels_cubic(geom, channel_vals, meta, Nm, Nzb, Nrb,
 
 
 def deposit_rho_cubic(x, y, z, w, q, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
-                      ruyten_cubic, zfold="periodic"):
+                      ruyten_cubic, zfold="periodic", comp=None):
     """Deposit charge density with cubic shapes; returns CArr (Nm,Nz,Nr)."""
     geom = _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                           ruyten_cubic)
+                           ruyten_cubic, comp=comp)
     cos_m, sin_m = _mode_phases(geom["cos"], geom["sin"], Nm)
     wj = q * w
     vals = [CArr(jnp.stack([wj * cm for cm in cos_m]),
@@ -354,10 +376,10 @@ def deposit_rho_cubic(x, y, z, w, q, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
 
 def deposit_J_cubic(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
                     invdz, zmin, Nz, invdr, rmin, Nr, ruyten_cubic,
-                    zfold="periodic"):
+                    zfold="periodic", comp=None):
     """Deposit current density with cubic shapes."""
     geom = _geometry_cubic(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                           ruyten_cubic)
+                           ruyten_cubic, comp=comp)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w
@@ -385,7 +407,7 @@ def deposit_rho_J_linear(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
     and current are sampled at the same particle positions.
     """
     geom = _geometry(x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                     ruyten_linear)
+                     ruyten_linear, comp=comp)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w

@@ -40,6 +40,7 @@ def _stack_interp_channels(interp, Nm):
 
 def gather_fields_linear(
     x, y, z, interp, rmax_gather, invdz, zmin, Nz, invdr, rmin, Nr,
+    comp=None,
 ):
     """Gather E and B at particle positions with linear shapes.
 
@@ -61,10 +62,16 @@ def gather_fields_linear(
     ir_upper = ir_lower + 1
     iz_upper = iz_lower + 1
 
-    Sr_lower = ir_upper.astype(rdt) - r_cell
     Sr_upper = r_cell - ir_lower.astype(rdt)
-    Sz_lower = iz_upper.astype(rdt) - z_cell
     Sz_upper = z_cell - iz_lower.astype(rdt)
+    if comp is not None:
+        # Kahan residuals folded into the O(1) sub-cell offsets
+        cx, cy, cz = comp
+        Sz_upper = Sz_upper + invdz * cz
+        Sr_upper = Sr_upper + invdr * (
+            (x * cx + y * cy) / jnp.maximum(r, 1e-30))
+    Sr_lower = 1.0 - Sr_upper
+    Sz_lower = 1.0 - Sz_upper
 
     # Axis guard cells (below r=0): move the lower weight to the guard
     below_axis = ir_lower < 0
@@ -144,6 +151,7 @@ def gather_fields_linear(
 
 def gather_fields_cubic(
     x, y, z, interp, rmax_gather, invdz, zmin, Nz, invdr, rmin, Nr,
+    comp=None,
 ):
     """Gather E and B with cubic (third-order) shapes.
 
@@ -161,6 +169,11 @@ def gather_fields_cubic(
 
     ir_lowest = jnp.floor(r_cell).astype(jnp.int32) - 1
     r_local = r_cell - ir_lowest.astype(rdt)
+    if comp is not None:
+        # Kahan residuals folded into the O(1) sub-cell offsets
+        cx, cy, cz = comp
+        r_local = r_local + invdr * (
+            (x * cx + y * cy) / jnp.maximum(r, 1e-30))
     Sr = [
         -1. / 6. * (r_local - 2.) ** 3,
         1. / 6. * (3. * (r_local - 1.) ** 3 - 6. * (r_local - 1.) ** 2 + 4.),
@@ -169,6 +182,8 @@ def gather_fields_cubic(
     ]
     iz_lowest = jnp.floor(z_cell).astype(jnp.int32) - 1
     z_local = z_cell - iz_lowest.astype(rdt)
+    if comp is not None:
+        z_local = z_local + invdz * cz
     Sz = [
         -1. / 6. * (z_local - 2.) ** 3,
         1. / 6. * (3. * (z_local - 1.) ** 3 - 6. * (z_local - 1.) ** 2 + 4.),

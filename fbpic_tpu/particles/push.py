@@ -84,3 +84,31 @@ def push_x(ptcl, dt, x_push=1.0, y_push=1.0, z_push=1.0):
     y = ptcl.y + chdt * ptcl.inv_gamma * y_push * ptcl.uy
     z = ptcl.z + chdt * ptcl.inv_gamma * z_push * ptcl.uz
     return x, y, z
+
+
+def _kahan_add(x, comp, dx):
+    """One compensated accumulation step: returns (x_new, comp_new)
+    such that x_new + comp_new ~= x + comp + dx to ~2x working
+    precision (Kahan-Neumaier)."""
+    y = dx + comp
+    t = x + y
+    comp = y - (t - x)
+    return t, comp
+
+
+def push_x_compensated(ptcl, dt, x_push=1.0, y_push=1.0, z_push=1.0):
+    """Position push with Kahan-compensated accumulation.
+
+    In float32 the per-step displacement of slow (wake) dynamics is
+    below the ULP of the position values; the compensation arrays
+    carry the dropped low bits so the accumulated motion stays
+    accurate.  Returns (x, y, z, comp_x, comp_y, comp_z).
+    """
+    chdt = c * dt
+    dx = chdt * ptcl.inv_gamma * x_push * ptcl.ux
+    dy = chdt * ptcl.inv_gamma * y_push * ptcl.uy
+    dz = chdt * ptcl.inv_gamma * z_push * ptcl.uz
+    x, cx = _kahan_add(ptcl.x, ptcl.comp_x, dx)
+    y, cy = _kahan_add(ptcl.y, ptcl.comp_y, dy)
+    z, cz = _kahan_add(ptcl.z, ptcl.comp_z, dz)
+    return x, y, z, cx, cy, cz

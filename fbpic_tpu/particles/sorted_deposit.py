@@ -93,7 +93,7 @@ def _padded_arrays(sort, arrays):
 
 
 def _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
-                     ruyten, zfold, delta_lo, delta_hi):
+                     ruyten, zfold, delta_lo, delta_hi, comp=None):
     """Linear-shape geometry on the padded (Nz, K) layout.
 
     Mirrors deposit._geometry exactly (same Ruyten rows, below-axis
@@ -110,6 +110,12 @@ def _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
 
     iz_low = jnp.ceil(z_cell).astype(jnp.int32) - 1
     sz1 = z_cell - iz_low.astype(rdt)
+    if comp is not None:
+        # Kahan residuals folded into the O(1) sub-cell offsets (the
+        # cell coordinates themselves are O(Nz) and would round the
+        # correction away)
+        cx, cy, cz = comp
+        sz1 = sz1 + invdz * cz
     sz0 = 1.0 - sz1
     ok = sort["valid"].astype(rdt)
     sz0 = sz0 * ok
@@ -132,6 +138,8 @@ def _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
 
     ir_low = jnp.ceil(r_cell).astype(jnp.int32) - 1
     u = r_cell - ir_low.astype(rdt)
+    if comp is not None:
+        u = u + invdr * ((x * cx + y * cy) / jnp.maximum(r, 1e-30))
     bn_idx = jnp.clip(jnp.ceil(r_cell).astype(jnp.int32), 0, Nr)
     base0 = 1.0 - u
     corr = (1.0 - u) * u
@@ -141,7 +149,8 @@ def _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
     ir_buf = jnp.minimum(ir_low + NGUARD, Nr + NGUARD)
 
     return dict(cos=cos, sin=sin, below_axis=below_axis,
-                zw=zw, sr0_m0=sr0_m0, sr0_mh=sr0_mh, ir_buf=ir_buf)
+                zw=zw, sr0_m0=sr0_m0, sr0_mh=sr0_mh, ir_buf=ir_buf,
+                ir_low=ir_low, u=u, bn_idx=bn_idx)
 
 
 def _dense_deposit(geom, channel_vals, meta, Nz, Nr, zfold,
@@ -258,9 +267,95 @@ def _pack_padded(values, Nm):
     return jnp.stack(cols, axis=2)
 
 
+def _dense_deposit_diff(geom1, geom2, ph1, ph2, wj, meta, ruyten, Nz,
+                        Nr, zfold, delta_lo, delta_hi):
+    """Contract the PER-PARTICLE difference of two rho deposits.
+
+    Computes sum_p wj_p [ph2_p S(x2_p) - ph1_p S(x1_p)] -- the
+    float32-exact way to obtain rho(x2) - rho(x1) when rho carries a
+    huge background (the plain grid difference, and even naive
+    per-element product differences, lose the wake-scale perturbation
+    to rounding; SURVEY hard part 3).
+
+    The product difference is TELESCOPED so every term is a small
+    difference times O(1) factors (relative rounding only, no
+    cancellation of large products):
+
+        ph2 zw2 sr2 - ph1 zw1 sr1 =
+            (ph2-ph1) zw1 sr1 + ph2 (zw2-zw1) sr1 + ph2 zw2 (sr2-sr1)
+
+    ph1/ph2: (Nz, K, C) azimuthal phase channels WITHOUT the weight;
+    wj: (Nz, K) charge weights.  Frame: x1's radial bin (one-hot S1);
+    x2's radial weights are evaluated relative to that bin (weights
+    leave [0,1] for the rare radial cell-crossers -- an
+    O(crossing-depth^2) approximation).  The z direction uses the
+    column-offset blocks, which share the sort column frame exactly.
+    """
+    Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
+    C = ph1.shape[2]
+    rdt = ph1.dtype
+    n_off = delta_hi + 2 - delta_lo
+
+    mode0_mask = meta["is_mode0"]
+    flips = meta["flip"]
+
+    def radial_corners(u, bn):
+        corr = (1.0 - u) * u
+        sr0_m0 = (1.0 - u) + ruyten[0][bn] * corr
+        sr0_mh = (1.0 - u) + ruyten[1][bn] * corr
+        sr0 = jnp.where(mode0_mask[None, None, :],
+                        sr0_m0[:, :, None], sr0_mh[:, :, None])
+        sr1 = 1.0 - sr0
+        sr0 = jnp.where(geom1["below_axis"][:, :, None],
+                        flips[None, None, :] * sr0, sr0)
+        return sr0, sr1
+
+    bn1 = geom1["bn_idx"]
+    sr0_1, sr1_1 = radial_corners(geom1["u"], bn1)
+    # x2's radial offset in x1's bin frame
+    u2p = geom2["u"] + (geom2["ir_low"] - geom1["ir_low"]).astype(rdt)
+    sr0_2, sr1_2 = radial_corners(u2p, bn1)
+    dsr0 = sr0_2 - sr0_1
+    dsr1 = sr1_2 - sr1_1
+
+    dph = ph2 - ph1
+    wj3 = wj[:, :, None]
+
+    blocks = []
+    for o in range(n_off):
+        zw1 = geom1["zw"][o][:, :, None]
+        zw2 = geom2["zw"][o][:, :, None]
+        dzw = zw2 - zw1
+        blocks.append(wj3 * (dph * (zw1 * sr0_1) + ph2 * (dzw * sr0_1)
+                             + ph2 * (zw2 * dsr0)))
+        blocks.append(wj3 * (dph * (zw1 * sr1_1) + ph2 * (dzw * sr1_1)
+                             + ph2 * (zw2 * dsr1)))
+    V = jnp.concatenate(blocks, axis=2)
+
+    S = jax.nn.one_hot(geom1["ir_buf"], Nrb, dtype=rdt)
+    out = jnp.einsum("bkr,bkc->brc", S, V,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=rdt)
+    out = out.reshape(Nz, Nrb, n_off, 2, C)
+
+    buf = jnp.zeros((Nzb, Nrb, C), dtype=rdt)
+    for i, o in enumerate(range(delta_lo, delta_hi + 2)):
+        lo = o + NGUARD
+        plane = out[:, :, i, 0, :]
+        plane = plane.at[:, 1:, :].add(out[:, :-1, i, 1, :])
+        if lo < 0:
+            buf = buf.at[:lo + Nz].add(plane[-lo:])
+        elif lo + Nz <= Nzb:
+            buf = buf.at[lo:lo + Nz].add(plane)
+        else:
+            buf = buf.at[lo:].add(plane[:Nzb - lo])
+    return _fold_guard_cells(buf, Nz, Nr, zfold)
+
+
 def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
                          dt_half, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
-                         ruyten_linear, zfold="periodic"):
+                         ruyten_linear, zfold="periodic", comp=None,
+                         with_drho=False):
     """Fused J (at the current positions) + rho (at the positions one
     half push later) from ONE padded gather.
 
@@ -275,13 +370,19 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
 
     Returns (Jr, Jt, Jz, rho) raw grids (not divided by cell volume).
     """
-    x, y, z, w, ux, uy, uz, inv_gamma = _padded_arrays(
-        sort, [x, y, z, w, ux, uy, uz, inv_gamma])
+    if comp is not None:
+        (x, y, z, w, ux, uy, uz, inv_gamma,
+         cx, cy, cz) = _padded_arrays(
+            sort, [x, y, z, w, ux, uy, uz, inv_gamma] + list(comp))
+        comp = (cx, cy, cz)
+    else:
+        x, y, z, w, ux, uy, uz, inv_gamma = _padded_arrays(
+            sort, [x, y, z, w, ux, uy, uz, inv_gamma])
 
     # --- J at the current (n+1/2) positions
     geom = _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
                             Nr, ruyten_linear, zfold,
-                            delta_lo=-2, delta_hi=1)
+                            delta_lo=-2, delta_hi=1, comp=comp)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w
@@ -304,7 +405,7 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     z2 = z + chdt * inv_gamma * uz
     geom2 = _padded_geometry(sort, x2, y2, z2, invdz, zmin, Nz, invdr,
                              rmin, Nr, ruyten_linear, zfold,
-                             delta_lo=-2, delta_hi=1)
+                             delta_lo=-2, delta_hi=1, comp=comp)
     cos_m2, sin_m2 = _mode_phases(geom2["cos"], geom2["sin"], Nm)
     rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m2]),
                      jnp.stack([wj * sm for sm in sin_m2]))
@@ -313,4 +414,143 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     out2 = _dense_deposit(geom2, channels2, meta2, Nz, Nr, zfold,
                           delta_lo=-2, delta_hi=1)
     rho = _unpack_channels(out2, 1, Nm)[0]
-    return Jr, Jt, Jz, rho
+    if not with_drho:
+        return Jr, Jt, Jz, rho
+
+    # --- drho = rho(x_{n+1}) - rho(x_n) via per-particle telescoped
+    # differences.  Endpoint shapes are derived from the MID-position
+    # geometry plus velocity-product half-step deltas in cell units:
+    # materializing the endpoint coordinates in float32 would
+    # re-quantize the positions at the cell-coordinate ULP (~4e-5
+    # cells), which is larger than the per-step density change the
+    # correction divides by dt.  Cell-boundary crossers are routed to
+    # the right column-offset block by floor-splitting (exact in z).
+    hz = chdt * inv_gamma * uz * invdz                    # half-step, cells
+    vr = geom["cos"] * ux + geom["sin"] * uy
+    hr = chdt * inv_gamma * vr * invdr
+
+    # Mid-position raw pieces (frame)
+    sz1 = None   # rebuilt below from zw blocks is lossy; recompute
+    z_cell_mid = invdz * (z - zmin) - 0.5
+    iz_mid = jnp.ceil(z_cell_mid).astype(jnp.int32) - 1
+    s_mid = z_cell_mid - iz_mid.astype(x.dtype)
+    if comp is not None:
+        s_mid = s_mid + invdz * comp[2]
+    col = jnp.arange(Nz, dtype=jnp.int32)[:, None]
+    if zfold == "clamp":
+        delta_mid = jnp.clip(iz_mid, -NGUARD, Nz) - col
+        delta_mid = jnp.clip(delta_mid, -2, 1)
+    else:
+        delta_mid = jnp.mod(iz_mid - col + 2, Nz) - 2
+    ok = sort["valid"].astype(x.dtype)
+
+    def z_blocks(s_shift):
+        """Offset-block z weights for sub-cell position s_mid+s_shift,
+        floor-split so crossers land in the right block (exact)."""
+        sp_ = s_mid + s_shift
+        shift = jnp.floor(sp_)
+        s = sp_ - shift
+        d = delta_mid + shift.astype(jnp.int32)
+        s0 = (1.0 - s) * ok
+        s1 = s * ok
+        return [s0 * (d == o) + s1 * (d == o - 1) for o in range(-3, 4)]
+
+    zw_a = z_blocks(-hz)
+    zw_b = z_blocks(hz)
+
+    r_cell_mid = invdr * (jnp.sqrt(x * x + y * y) - rmin) - 0.5
+    ir_mid = jnp.ceil(r_cell_mid).astype(jnp.int32) - 1
+    u_mid = r_cell_mid - ir_mid.astype(x.dtype)
+    if comp is not None:
+        cx_, cy_, cz_ = comp
+        rr = jnp.maximum(jnp.sqrt(x * x + y * y), 1e-30)
+        u_mid = u_mid + invdr * ((x * cx_ + y * cy_) / rr)
+    bn_mid = jnp.clip(jnp.ceil(r_cell_mid).astype(jnp.int32), 0, Nr)
+    ir_buf_mid = jnp.minimum(ir_mid + NGUARD, Nr + NGUARD)
+    below_mid = ir_mid < 0
+
+    # Endpoint phases from the (cheaply materialized) endpoint
+    # coordinates -- phase DIFFERENCES are small relative to their
+    # O(1) inputs, so plain subtraction is precision-safe
+    x0e, y0e = x - chdt * inv_gamma * ux, y - chdt * inv_gamma * uy
+    x2e, y2e = x + chdt * inv_gamma * ux, y + chdt * inv_gamma * uy
+    r0e = jnp.maximum(jnp.sqrt(x0e * x0e + y0e * y0e), 1e-30)
+    r2e = jnp.maximum(jnp.sqrt(x2e * x2e + y2e * y2e), 1e-30)
+    cos_a, sin_a = x0e / r0e, y0e / r0e
+    cos_b, sin_b = x2e / r2e, y2e / r2e
+    cma, sma = _mode_phases(cos_a, sin_a, Nm)
+    cmb, smb = _mode_phases(cos_b, sin_b, Nm)
+    one = jnp.ones_like(w)
+    ph_a = _pack_padded([CArr(jnp.stack([one * c_ for c_ in cma]),
+                              jnp.stack([one * s_ for s_ in sma]))], Nm)
+    ph_b = _pack_padded([CArr(jnp.stack([one * c_ for c_ in cmb]),
+                              jnp.stack([one * s_ for s_ in smb]))], Nm)
+
+    meta2_ = _channel_meta(Nm, 1, [+1.0], x.dtype)
+    span = dict(zw_a=zw_a, zw_b=zw_b, u_a=u_mid - hr, u_b=u_mid + hr,
+                bn=bn_mid, ir_buf=ir_buf_mid, below=below_mid)
+    outd = _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta2_,
+                                    ruyten_linear, Nz, Nr, zfold)
+    drho = _unpack_channels(outd, 1, Nm)[0]
+    return Jr, Jt, Jz, rho, drho
+
+
+def _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta, ruyten, Nz, Nr,
+                             zfold):
+    """Contract sum_p wj [ph_b S(x_b) - ph_a S(x_a)] with telescoped
+    per-particle product differences (see deposit_rho_J_sorted)."""
+    Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
+    C = ph_a.shape[2]
+    rdt = ph_a.dtype
+    n_off = 7   # offsets -3..3 (covers edge-clipped strays + crossers)
+
+    mode0_mask = meta["is_mode0"]
+    flips = meta["flip"]
+
+    def radial_corners(u):
+        corr = (1.0 - u) * u
+        sr0_m0 = (1.0 - u) + ruyten[0][span["bn"]] * corr
+        sr0_mh = (1.0 - u) + ruyten[1][span["bn"]] * corr
+        sr0 = jnp.where(mode0_mask[None, None, :],
+                        sr0_m0[:, :, None], sr0_mh[:, :, None])
+        sr1 = 1.0 - sr0
+        sr0 = jnp.where(span["below"][:, :, None],
+                        flips[None, None, :] * sr0, sr0)
+        return sr0, sr1
+
+    sr0_a, sr1_a = radial_corners(span["u_a"])
+    sr0_b, sr1_b = radial_corners(span["u_b"])
+    dsr0 = sr0_b - sr0_a
+    dsr1 = sr1_b - sr1_a
+    dph = ph_b - ph_a
+    wj3 = wj[:, :, None]
+
+    blocks = []
+    for o in range(n_off):
+        zw_a = span["zw_a"][o][:, :, None]
+        zw_b = span["zw_b"][o][:, :, None]
+        dzw = zw_b - zw_a
+        blocks.append(wj3 * (dph * (zw_a * sr0_a) + ph_b * (dzw * sr0_a)
+                             + ph_b * (zw_b * dsr0)))
+        blocks.append(wj3 * (dph * (zw_a * sr1_a) + ph_b * (dzw * sr1_a)
+                             + ph_b * (zw_b * dsr1)))
+    V = jnp.concatenate(blocks, axis=2)
+
+    S = jax.nn.one_hot(span["ir_buf"], Nrb, dtype=rdt)
+    out = jnp.einsum("bkr,bkc->brc", S, V,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=rdt)
+    out = out.reshape(Nz, Nrb, n_off, 2, C)
+
+    buf = jnp.zeros((Nzb, Nrb, C), dtype=rdt)
+    for i, o in enumerate(range(-3, 4)):
+        lo = o + NGUARD
+        plane = out[:, :, i, 0, :]
+        plane = plane.at[:, 1:, :].add(out[:, :-1, i, 1, :])
+        if lo < 0:
+            buf = buf.at[:lo + Nz].add(plane[-lo:])
+        elif lo + Nz <= Nzb:
+            buf = buf.at[lo:lo + Nz].add(plane)
+        else:
+            buf = buf.at[lo:].add(plane[:Nzb - lo])
+    return _fold_guard_cells(buf, Nz, Nr, zfold)

@@ -51,12 +51,25 @@ class ParticleState:
     inv_gamma: jax.Array
     w: jax.Array               # macroparticle weight; 0 marks a dead slot
     ionization_level: Optional[jax.Array] = None  # uint8, ionizable species
-    ids: Optional[jax.Array] = None               # uint64, tracked species
+    # Tracking ids as two uint32 words (the TPU has no uint64; the
+    # diagnostics reassemble hi << 32 | lo, matching the reference's
+    # uint64 ids, tracking.py)
+    ids: Optional[jax.Array] = None               # uint32 low word
+    ids_hi: Optional[jax.Array] = None            # uint32 high word
     # Continuous-injection bookkeeping (None unless injecting):
     next_free: Optional[jax.Array] = None   # int32 ring-buffer cursor
     inj_z_end: Optional[jax.Array] = None   # scalar: end of loaded plasma
     # Tracking id counter (None unless ids are tracked)
-    next_id: Optional[jax.Array] = None     # uint32 scalar
+    next_id: Optional[jax.Array] = None     # uint32 scalar (low word)
+    next_id_hi: Optional[jax.Array] = None  # uint32 scalar (high word)
+    # Kahan compensation of the position accumulators (float32 runs
+    # only): per-step wake/ponderomotive displacements (~5e-14 m) are
+    # far below the f32 ULP of the positions (~2e-12 m at z ~ 40 um)
+    # and would be rounded away systematically; the compensation words
+    # carry the lost low bits (SURVEY hard part 3).
+    comp_x: Optional[jax.Array] = None
+    comp_y: Optional[jax.Array] = None
+    comp_z: Optional[jax.Array] = None
 
     @property
     def capacity(self):
@@ -84,6 +97,10 @@ def make_particle_state(
         return jnp.asarray(out, dtype=dt)
 
     extra = {}
+    if dtype == np.float32 or dtype == jnp.float32:
+        extra.update(comp_x=jnp.zeros(cap, jnp.float32),
+                     comp_y=jnp.zeros(cap, jnp.float32),
+                     comp_z=jnp.zeros(cap, jnp.float32))
     if ionization_level is not None:
         lev = np.zeros(cap, dtype=np.uint8)
         lev[:n] = ionization_level

@@ -1,9 +1,11 @@
 """Particle tracking: unique ids per macroparticle.
 
-TPU-native: ids are uint32 device arrays (the TPU has no uint64); new
-ids for injected/ionized particles are assigned inside the jit step
-from a per-species running counter.  Behavioral reference:
-/root/reference/fbpic/particles/tracking/tracking.py.
+TPU-native: ids are stored as TWO uint32 device arrays (low/high
+word; the TPU has no uint64) and reassembled to 64-bit integers in the
+diagnostics, so they never wrap in practice (the reference uses plain
+uint64, particles/tracking/tracking.py).  New ids for injected /
+ionized / scattered particles are assigned inside the jit step from a
+per-species running two-word counter.
 """
 import dataclasses
 
@@ -26,7 +28,9 @@ def enable_tracking(sim, view):
     ids[:n] = np.arange(1, n + 1, dtype=np.uint32)
     sp = dataclasses.replace(
         sp, ids=jnp.asarray(ids),
-        next_id=jnp.asarray(n + 1, dtype=jnp.uint32))
+        ids_hi=jnp.zeros(cap, dtype=jnp.uint32),
+        next_id=jnp.asarray(n + 1, dtype=jnp.uint32),
+        next_id_hi=jnp.asarray(0, dtype=jnp.uint32))
     species = list(sim.state.species)
     species[idx] = sp
     sim.state = dataclasses.replace(sim.state, species=tuple(species))

@@ -98,3 +98,43 @@ def test_reverse_time_roundtrip():
     E1 = np.asarray(sim.state.interp.Er.re)
     err = np.max(np.abs(E1 - E0)) / np.max(np.abs(E0))
     assert err < 1e-10
+
+
+def test_mirror_mode_filtering():
+    """A mirror with m=[0] must zero only mode 0, leaving the mode-1
+    laser untouched; m='all' zeroes everything (reference mirrors.py)."""
+    import numpy as np
+    from fbpic_tpu import Simulation
+    from fbpic_tpu.constants import c
+    from fbpic_tpu.lpa_utils.laser import add_laser_pulse, GaussianLaser
+    from fbpic_tpu.lpa_utils.mirrors import Mirror
+
+    Nz, Nr, Nm = 64, 16, 2
+    Lz = 20.e-6
+    dt = Lz / Nz / c
+
+    def run(mirror_m):
+        sim = Simulation(Nz, Lz, Nr, 15.e-6, Nm, dt, zmin=0.,
+                         verbose_level=0)
+        add_laser_pulse(sim, GaussianLaser(a0=0.01, waist=5.e-6,
+                                           tau=8.e-15, z0=10.e-6))
+        # Seed a mode-0 field too (uniform Ez)
+        import dataclasses, jax.numpy as jnp
+        interp = sim.state.interp
+        Ez = interp.Ez
+        Ez = type(Ez)(Ez.re.at[0].set(1.e9), Ez.im)
+        sim.state = dataclasses.replace(
+            sim.state, interp=dataclasses.replace(interp, Ez=Ez))
+        sim.mirrors.append(Mirror(z_lab=0.0, n_cells=Nz, m=mirror_m))
+        sim.step(1, show_progress=False, correct_currents=False)
+        m0 = np.abs(np.asarray(sim.state.interp.Er.re[0])).max() + \
+            np.abs(np.asarray(sim.state.interp.Ez.re[0])).max()
+        m1 = np.abs(np.asarray(sim.state.interp.Er.re[1])).max()
+        return m0, m1
+
+    m0_f, m1_f = run([0])      # filter mode 0 only
+    assert m0_f < 1.0          # mode 0 zeroed
+    assert m1_f > 1.e8         # laser (mode 1) survives
+
+    m0_a, m1_a = run("all")
+    assert m0_a < 1.0 and m1_a < 1.0

@@ -140,3 +140,55 @@ if __name__ == "__main__":
     test_sorted_matches_scatter()
     test_fused_rho_J_matches_scatter()
     test_fused_step_matches_scatter_step()
+
+
+def test_fused_drho_matches_difference():
+    """with_drho=True must reproduce rho(x_{n+1}) - rho(x_n) (f64:
+    exact up to the radial-crosser approximation, negligible at
+    production velocity scales)."""
+    from fbpic_tpu.constants import c
+    rng = np.random.RandomState(11)
+    Nz, Nr, Nm = 32, 12, 2
+    dz, dr, zmin = 0.1, 0.2, -1.0
+    sim = Simulation(Nz, zmin + Nz * dz, Nr, Nr * dr, Nm, 1e-12,
+                     zmin=zmin, verbose_level=0)
+    ruy = sim.aux.ruyten_linear
+
+    Np = 5000
+    z = zmin + rng.uniform(0.0, Nz * dz, Np)
+    r = rng.uniform(0, Nr * dr * 0.99, Np)
+    th = rng.uniform(0, 2 * np.pi, Np)
+    x, y = r * np.cos(th), r * np.sin(th)
+    w = rng.uniform(0.5, 1.5, Np)
+    # production-scale velocities: motion per half push << a cell
+    ux, uy, uz = rng.randn(3, Np) * 0.005
+    ig = 1 / np.sqrt(1 + ux**2 + uy**2 + uz**2)
+    dt_half = 0.25 * dz / c
+    q = -1.6e-19
+
+    xj, yj, zj, wj = map(jnp.asarray, (x, y, z, w))
+    uxj, uyj, uzj, igj = map(jnp.asarray, (ux, uy, uz, ig))
+    sort = sd.build_column_sort(zj, wj, zmin, 1 / dz, Nz, K=640)
+    out = sd.deposit_rho_J_sorted(
+        sort, xj, yj, zj, wj, q, uxj, uyj, uzj, igj, dt_half,
+        Nm, 1 / dz, zmin, Nz, 1 / dr, 0., Nr, ruy, zfold="clamp",
+        with_drho=True)
+    drho = out[4]
+
+    chdt = c * dt_half
+    x2, y2, z2 = (xj + chdt * igj * uxj, yj + chdt * igj * uyj,
+                  zj + chdt * igj * uzj)
+    x0, y0, z0 = (xj - chdt * igj * uxj, yj - chdt * igj * uyj,
+                  zj - chdt * igj * uzj)
+    r2 = dd.deposit_rho_linear(x2, y2, z2, wj, q, Nm, 1 / dz, zmin, Nz,
+                               1 / dr, 0., Nr, ruy, zfold="clamp")
+    r0 = dd.deposit_rho_linear(x0, y0, z0, wj, q, Nm, 1 / dz, zmin, Nz,
+                               1 / dr, 0., Nr, ruy, zfold="clamp")
+    truth = r2 - r0
+    s = np.abs(np.asarray(truth.re)).max()
+    e = max(np.abs(np.asarray(drho.re - truth.re)).max(),
+            np.abs(np.asarray(drho.im - truth.im)).max())
+    # bounded by the radial-crosser approximation (O(depth^2) of the
+    # incoherent per-cell signal at these random velocities; the
+    # physics-level accuracy is validated end-to-end by test_f32_parity)
+    assert e < 5e-2 * s
