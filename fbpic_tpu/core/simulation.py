@@ -228,6 +228,20 @@ class Simulation:
             boundaries = {"z": boundaries, "r": "reflective"}
 
         self.boundaries = boundaries
+        # Parameter-scan parallelism (reference main.py use_all_mpi_ranks:
+        # each rank runs an INDEPENDENT simulation).  TPU analog: pin
+        # this simulation to one device of a multi-device host so N
+        # processes (or N Simulation objects) can run one scan point
+        # per chip; select with FBPIC_TPU_TASK_DEVICE=<k> (default 0).
+        self.use_all_devices = use_all_mpi_ranks
+        if not use_all_mpi_ranks:
+            import os as _os
+            k = int(_os.environ.get("FBPIC_TPU_TASK_DEVICE", "0"))
+            devs = jax.devices()
+            self.task_device = devs[k % len(devs)]
+            jax.config.update("jax_default_device", self.task_device)
+        else:
+            self.task_device = None
         self.verbose_level = int(verbose_level)
         self._banner_printed = False
         boundaries_z = boundaries.get("z", "periodic")

@@ -400,7 +400,7 @@ def deposit_J_cubic(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
 
 def deposit_rho_J_linear(x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
                          invdz, zmin, Nz, invdr, rmin, Nr, ruyten_linear,
-                         zfold="periodic"):
+                         zfold="periodic", comp=None):
     """Deposit rho and J together in one scatter (same positions).
 
     Returns (rho, Jr, Jt, Jz) CArr (Nm, Nz, Nr).  Used when the charge

@@ -142,9 +142,35 @@ def generate_columns(inj_cfg: InjectorConfig, inj_aux: InjectorAux,
     z = jnp.repeat(z_cols, col_size)
     w = w * jnp.repeat(active, col_size)
 
+    # Unalign the ring angles BETWEEN columns: reusing one angular
+    # template for every injected column correlates the finite-p_nt
+    # sampling noise coherently along z, which pumps spurious
+    # wake-scale mode-1 fields (the reference redraws random angles
+    # for each injected batch, continuous_injection.py:230).  The
+    # key derives the rotation from the injection front so it does
+    # not depend on WHEN columns are injected (exchange_period).
+    key_th = jax.random.fold_in(key, 1)
+    nkey = jnp.floor(z_cols / dz_p + 0.5).astype(jnp.int32)
+    phi = jax.vmap(
+        lambda n_: 2.0 * jnp.pi * jax.random.uniform(
+            jax.random.fold_in(key_th, n_), (), dtype))(nkey)
+    cphi = jnp.repeat(jnp.cos(phi), col_size)
+    sphi = jnp.repeat(jnp.sin(phi), col_size)
+    cos_r = cos_t * cphi - sin_t * sphi
+    sin_r = sin_t * cphi + cos_t * sphi
+    cos_t, sin_t = cos_r, sin_r
+
     x = r * cos_t
     y = r * sin_t
+    return _finish_columns(inj_cfg, inj_aux, z_end, n_cols, key, dtype,
+                           x, y, z, w, r)
 
+
+def _finish_columns(inj_cfg, inj_aux, z_end, n_cols, key, dtype,
+                    x, y, z, w, r):
+    col_size = inj_aux.r.shape[0]
+    dz_p = inj_cfg.dz_particles
+    max_cols = inj_cfg.max_inject_cols
     if inj_cfg.dens_func is not None:
         if inj_cfg.dens_args == "xyz":
             w = w * inj_cfg.dens_func(x=x, y=y, z=z)

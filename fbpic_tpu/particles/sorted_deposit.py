@@ -450,10 +450,13 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
         sp_ = s_mid + s_shift
         shift = jnp.floor(sp_)
         s = sp_ - shift
-        d = delta_mid + shift.astype(jnp.int32)
+        # Clip into the [-2, 1] offset window (only edge-clipped
+        # stragglers can exceed it; their misplacement sits inside the
+        # damped guard regions)
+        d = jnp.clip(delta_mid + shift.astype(jnp.int32), -2, 1)
         s0 = (1.0 - s) * ok
         s1 = s * ok
-        return [s0 * (d == o) + s1 * (d == o - 1) for o in range(-3, 4)]
+        return [s0 * (d == o) + s1 * (d == o - 1) for o in range(-2, 3)]
 
     zw_a = z_blocks(-hz)
     zw_b = z_blocks(hz)
@@ -502,7 +505,7 @@ def _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta, ruyten, Nz, Nr,
     Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
     C = ph_a.shape[2]
     rdt = ph_a.dtype
-    n_off = 7   # offsets -3..3 (covers edge-clipped strays + crossers)
+    n_off = 5   # offsets -2..2 (window [-2,1] for s0, +1 for s1)
 
     mode0_mask = meta["is_mode0"]
     flips = meta["flip"]
@@ -543,7 +546,7 @@ def _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta, ruyten, Nz, Nr,
     out = out.reshape(Nz, Nrb, n_off, 2, C)
 
     buf = jnp.zeros((Nzb, Nrb, C), dtype=rdt)
-    for i, o in enumerate(range(-3, 4)):
+    for i, o in enumerate(range(-2, 3)):
         lo = o + NGUARD
         plane = out[:, :, i, 0, :]
         plane = plane.at[:, 1:, :].add(out[:, :-1, i, 1, :])

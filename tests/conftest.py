@@ -9,12 +9,12 @@ import os
 # TPU platform); set FBPIC_TPU_TEST_ON_TPU=1 to run tests on the chip.
 if not os.environ.get("FBPIC_TPU_TEST_ON_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402  (import after env setup)
 
@@ -22,4 +22,4 @@ import jax  # noqa: E402  (import after env setup)
 # the config update takes precedence as long as no backend is initialized.
 if not os.environ.get("FBPIC_TPU_TEST_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_enable_x64", True)
