@@ -529,7 +529,9 @@ class Simulation:
                 occ = np.bincount(cols[(cols >= 0)
                                        & (cols < self.config.Nz)],
                                   minlength=self.config.Nz).max()
-                sort_K = int(-(-2 * max(int(occ), 64) // 128) * 128)
+                # 1.5x margin; column overflow is detected host-side
+                # after every chunk (see _check_sort_overflow)
+                sort_K = int(-(-3 * max(int(occ), 86) // 2 // 128) * 128)
             else:
                 sort_K = 0
 
@@ -887,6 +889,34 @@ class Simulation:
         if progress is not None:
             progress.print_summary()
         self._check_ring_overwrite()
+        self._check_sort_overflow()
+
+    def _check_sort_overflow(self):
+        """Warn when a z column holds more live particles than the
+        sorted-deposit capacity K (those would silently drop charge).
+        Host-side, once per step() call."""
+        if getattr(self, "_sort_warned", False):
+            return
+        for i, sc in enumerate(self.species_configs):
+            if sc.sort_K <= 0:
+                continue
+            sp = self.state.species[i]
+            w = np.asarray(sp.w)
+            z = np.asarray(sp.z)[w != 0]
+            if z.size == 0:
+                continue
+            cols = np.floor((z - float(self.state.zmin))
+                            / self.config.dz).astype(int)
+            cols = np.clip(cols, 0, self.config.Nz - 1)
+            occ = np.bincount(cols, minlength=self.config.Nz).max()
+            if occ > sc.sort_K:
+                import warnings
+                warnings.warn(
+                    f"species {i} ({sc.name}): a z column holds {occ} "
+                    f"particles > sort_K={sc.sort_K}; the sorted "
+                    f"deposition drops the excess.  Pass a larger "
+                    f"sort_K to add_new_species.", RuntimeWarning)
+                self._sort_warned = True
 
     def _check_ring_overwrite(self):
         """Warn when continuous injection is about to overwrite LIVE

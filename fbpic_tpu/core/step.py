@@ -774,6 +774,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # half-pushes).
         fused_J = fused_rho = None
         fused_drho = {}
+        derive_rho_next = False
         # float32 runs: the current correction needs rho_next - rho_prev
         # computed per particle (drho), not as a difference of grids
         f32_mode = any(sp.x.dtype == jnp.float32 for sp in species)
@@ -786,6 +787,11 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                          == "cross-deposition")):
             from ..particles.sorted_deposit import deposit_rho_J_sorted
             fused_J, fused_rho = {}, {}
+            # With drho in hand and no multi-chip halo, rho_next can be
+            # DERIVED as rho_prev + drho (exact for the correction's
+            # and diagnostics' purposes) -- skipping one whole MXU
+            # contraction + geometry per species
+            derive_rho_next = want_drho and halo is None
             for i in sorts:
                 sp, sc = species[i], species_configs[i]
                 w_eff = sp.w
@@ -797,7 +803,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                     config.Nm, 1.0 / config.dz, zmin, config.Nz,
                     1.0 / config.dr, 0.0, config.Nr,
                     aux.ruyten_linear, zfold=_zfold(config),
-                    comp=_comp_of(sp), with_drho=want_drho)
+                    comp=_comp_of(sp), with_drho=want_drho,
+                    with_rho=not derive_rho_next)
                 fused_J[i] = out[:3]
                 fused_rho[i] = out[3]
                 if want_drho:
@@ -848,13 +855,6 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # --- Second half position push
         species = [half_push_x(config, options, sp, zmin) for sp in species]
 
-        # --- Charge deposition at t = (n+1) dt
-        rho_next = deposit_rho_spect(config, aux, species, species_configs,
-                                     zmin, sorts=sorts, fused=fused_rho)
-        if options.filter_currents:
-            rho_next = ps.filter_scalar(rho_next, aux.filter_z, aux.filter_r)
-        spect = dataclasses.replace(spect, rho_next=rho_next)
-
         # --- float32: directly-deposited d(rho) for the correction
         drho = None
         if want_drho:
@@ -883,6 +883,22 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 if options.filter_currents:
                     drho = ps.filter_scalar(drho, aux.filter_z,
                                             aux.filter_r)
+
+        # --- Charge deposition at t = (n+1) dt.  When drho is
+        # available it is cheaper AND float32-cleaner to derive
+        # rho_next = rho_prev + drho (exact: with use_true_rho=False
+        # only the difference enters the dynamics; the accumulation is
+        # re-anchored by the fresh rho_prev deposit at every exchange)
+        if derive_rho_next and drho is not None:
+            rho_next = spect.rho_prev + drho
+        else:
+            rho_next = deposit_rho_spect(config, aux, species,
+                                         species_configs, zmin,
+                                         sorts=sorts, fused=fused_rho)
+            if options.filter_currents:
+                rho_next = ps.filter_scalar(rho_next, aux.filter_z,
+                                            aux.filter_r)
+        spect = dataclasses.replace(spect, rho_next=rho_next)
 
         # --- Current correction.  Multi-device: the correction runs on
         # the LOCAL (pre-exchange) sources -- it is linear, so the sum

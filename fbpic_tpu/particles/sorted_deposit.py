@@ -41,8 +41,19 @@ Reference behavior being replaced: cell-sorted atomics on CUDA
 (/root/reference/fbpic/particles/deposition/cuda_methods.py) and
 per-thread buffer accumulation on CPU (threading_methods.py:28-455).
 """
+import os as _os
+
 import jax
 import jax.numpy as jnp
+
+# MXU passes for the one-hot contraction: 'highest' (bf16x6, f32-exact,
+# default) or 'high' (bf16x3, ~1e-5 relative on the deposited sums --
+# fine for production a0 >= 1 wakes, visible in the a0 = 0.01 linear
+# benchmark).  The drho deposit always runs at 'highest'.
+_EINSUM_PRECISION = (jax.lax.Precision.HIGH
+                     if _os.environ.get("FBPIC_TPU_DEPOSIT_PRECISION",
+                                        "highest") == "high"
+                     else jax.lax.Precision.HIGHEST)
 
 from ..constants import c
 from ..utils.complex_arr import CArr
@@ -150,22 +161,12 @@ def _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
 
     return dict(cos=cos, sin=sin, below_axis=below_axis,
                 zw=zw, sr0_m0=sr0_m0, sr0_mh=sr0_mh, ir_buf=ir_buf,
-                ir_low=ir_low, u=u, bn_idx=bn_idx)
+                ir_low=ir_low, u=u, bn_idx=bn_idx,
+                s_sub=sz1, delta=delta, ok=ok)
 
 
-def _dense_deposit(geom, channel_vals, meta, Nz, Nr, zfold,
-                   delta_lo, delta_hi):
-    """Contract padded channels against the one-hot radial matrix.
-
-    channel_vals: (Nz, K, C).  Returns the folded (Nz, Nr, C) grid.
-    """
-    Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
-    C = channel_vals.shape[2]
-    rdt = channel_vals.dtype
-    n_off = delta_hi + 2 - delta_lo
-
-    # Per-channel lower radial corner (Ruyten row + below-axis flip),
-    # exactly as deposit._deposit_channels
+def _build_V(geom, channel_vals, meta):
+    """The wide channel matrix (Nz, K, n_off*2*C) of one deposit."""
     mode0_mask = meta["is_mode0"]                      # (C,)
     flips = meta["flip"]                               # (C,)
     sr0 = jnp.where(mode0_mask[None, None, :],
@@ -173,24 +174,28 @@ def _dense_deposit(geom, channel_vals, meta, Nz, Nr, zfold,
     sr1 = 1.0 - sr0
     sr0 = jnp.where(geom["below_axis"][:, :, None],
                     flips[None, None, :] * sr0, sr0)
-
-    # Wide channel matrix: (C, z-offset, r-corner) blocks
     v = channel_vals
     blocks = []
     for zw in geom["zw"]:
         zwv = v * zw[:, :, None]
         blocks.append(zwv * sr0)
         blocks.append(zwv * sr1)
-    V = jnp.concatenate(blocks, axis=2)                # (Nz, K, n_off*2*C)
+    return jnp.concatenate(blocks, axis=2)
 
-    S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=rdt)  # (Nz, K, Nrb)
-    out = jnp.einsum("bkr,bkc->brc", S, V,
-                     precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=rdt)        # (Nz, Nrb, ...)
+
+def _contract(S, V):
+    return jnp.einsum("bkr,bkc->brc", S, V,
+                      precision=_EINSUM_PRECISION,
+                      preferred_element_type=V.dtype)
+
+
+def _reassemble(out, Nz, Nr, zfold, delta_lo, delta_hi, C):
+    """Shifted adds of the (Nz, Nrb, n_off*2*C) contraction output
+    into the folded (Nz, Nr, C) grid."""
+    Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
+    n_off = delta_hi + 2 - delta_lo
+    rdt = out.dtype
     out = out.reshape(Nz, Nrb, n_off, 2, C)
-
-    # Reassemble: z offsets as shifted adds into the guard buffer,
-    # the upper radial corner shifted by +1 column
     buf = jnp.zeros((Nzb, Nrb, C), dtype=rdt)
     for i, o in enumerate(range(delta_lo, delta_hi + 2)):
         lo = o + NGUARD
@@ -203,6 +208,20 @@ def _dense_deposit(geom, channel_vals, meta, Nz, Nr, zfold,
         else:
             buf = buf.at[lo:].add(plane[:Nzb - lo])
     return _fold_guard_cells(buf, Nz, Nr, zfold)
+
+
+def _dense_deposit(geom, channel_vals, meta, Nz, Nr, zfold,
+                   delta_lo, delta_hi):
+    """Contract padded channels against the one-hot radial matrix.
+
+    channel_vals: (Nz, K, C).  Returns the folded (Nz, Nr, C) grid.
+    """
+    Nrb = Nr + 2 * NGUARD
+    C = channel_vals.shape[2]
+    V = _build_V(geom, channel_vals, meta)
+    S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=channel_vals.dtype)
+    out = _contract(S, V)
+    return _reassemble(out, Nz, Nr, zfold, delta_lo, delta_hi, C)
 
 
 def deposit_rho_sorted(sort, x, y, z, w, q, Nm, invdz, zmin, Nz,
@@ -355,7 +374,7 @@ def _dense_deposit_diff(geom1, geom2, ph1, ph2, wj, meta, ruyten, Nz,
 def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
                          dt_half, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
                          ruyten_linear, zfold="periodic", comp=None,
-                         with_drho=False):
+                         with_drho=False, with_rho=True):
     """Fused J (at the current positions) + rho (at the positions one
     half push later) from ONE padded gather.
 
@@ -379,10 +398,13 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
         x, y, z, w, ux, uy, uz, inv_gamma = _padded_arrays(
             sort, [x, y, z, w, ux, uy, uz, inv_gamma])
 
-    # --- J at the current (n+1/2) positions
+    # --- J at the current (n+1/2) positions.  The sort is built at
+    # exactly these positions, so in-range offsets are {-1, 0}; edge
+    # stragglers (clamped columns, inside the damped guard regions)
+    # are clipped into the window like the scatter path clips rows.
     geom = _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
                             Nr, ruyten_linear, zfold,
-                            delta_lo=-2, delta_hi=1, comp=comp)
+                            delta_lo=-1, delta_hi=0, comp=comp)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w
@@ -394,55 +416,51 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
             for j0 in (jr0, jt0, jz0)]
     channels = _pack_padded(vals, Nm)
     meta = _channel_meta(Nm, 3, [-1.0, -1.0, +1.0], x.dtype)
-    out = _dense_deposit(geom, channels, meta, Nz, Nr, zfold,
-                         delta_lo=-2, delta_hi=1)
-    Jr, Jt, Jz = _unpack_channels(out, 3, Nm)
+    if not with_drho:
+        out = _dense_deposit(geom, channels, meta, Nz, Nr, zfold,
+                             delta_lo=-1, delta_hi=0)
+        Jr, Jt, Jz = _unpack_channels(out, 3, Nm)
 
-    # --- rho at the half-pushed (n+1) positions
+    # --- rho at the half-pushed (n+1) positions.  Skipped entirely
+    # (with_rho=False) when the caller derives rho_next = rho_prev +
+    # drho instead: with use_true_rho=False rho_next never enters the
+    # field dynamics directly, only its difference does.
     chdt = c * dt_half
-    x2 = x + chdt * inv_gamma * ux
-    y2 = y + chdt * inv_gamma * uy
-    z2 = z + chdt * inv_gamma * uz
-    geom2 = _padded_geometry(sort, x2, y2, z2, invdz, zmin, Nz, invdr,
-                             rmin, Nr, ruyten_linear, zfold,
-                             delta_lo=-2, delta_hi=1, comp=comp)
-    cos_m2, sin_m2 = _mode_phases(geom2["cos"], geom2["sin"], Nm)
-    rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m2]),
-                     jnp.stack([wj * sm for sm in sin_m2]))
-    channels2 = _pack_padded([rho_modes], Nm)
-    meta2 = _channel_meta(Nm, 1, [+1.0], x.dtype)
-    out2 = _dense_deposit(geom2, channels2, meta2, Nz, Nr, zfold,
-                          delta_lo=-2, delta_hi=1)
-    rho = _unpack_channels(out2, 1, Nm)[0]
+    rho = None
+    if with_rho:
+        x2 = x + chdt * inv_gamma * ux
+        y2 = y + chdt * inv_gamma * uy
+        z2 = z + chdt * inv_gamma * uz
+        geom2 = _padded_geometry(sort, x2, y2, z2, invdz, zmin, Nz,
+                                 invdr, rmin, Nr, ruyten_linear, zfold,
+                                 delta_lo=-2, delta_hi=1, comp=comp)
+        cos_m2, sin_m2 = _mode_phases(geom2["cos"], geom2["sin"], Nm)
+        rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m2]),
+                         jnp.stack([wj * sm for sm in sin_m2]))
+        channels2 = _pack_padded([rho_modes], Nm)
+        meta2 = _channel_meta(Nm, 1, [+1.0], x.dtype)
+        out2 = _dense_deposit(geom2, channels2, meta2, Nz, Nr, zfold,
+                              delta_lo=-2, delta_hi=1)
+        rho = _unpack_channels(out2, 1, Nm)[0]
     if not with_drho:
         return Jr, Jt, Jz, rho
 
     # --- drho = rho(x_{n+1}) - rho(x_n) via per-particle telescoped
     # differences.  Endpoint shapes are derived from the MID-position
-    # geometry plus velocity-product half-step deltas in cell units:
-    # materializing the endpoint coordinates in float32 would
-    # re-quantize the positions at the cell-coordinate ULP (~4e-5
-    # cells), which is larger than the per-step density change the
-    # correction divides by dt.  Cell-boundary crossers are routed to
-    # the right column-offset block by floor-splitting (exact in z).
+    # geometry (reused from the J deposit: same positions) plus
+    # velocity-product half-step deltas in cell units: materializing
+    # the endpoint coordinates in float32 would re-quantize the
+    # positions at the cell-coordinate ULP (~4e-5 cells), which is
+    # larger than the per-step density change the correction divides
+    # by dt.  Cell-boundary crossers are routed to the right
+    # column-offset block by floor-splitting (exact in z).
     hz = chdt * inv_gamma * uz * invdz                    # half-step, cells
     vr = geom["cos"] * ux + geom["sin"] * uy
     hr = chdt * inv_gamma * vr * invdr
 
-    # Mid-position raw pieces (frame)
-    sz1 = None   # rebuilt below from zw blocks is lossy; recompute
-    z_cell_mid = invdz * (z - zmin) - 0.5
-    iz_mid = jnp.ceil(z_cell_mid).astype(jnp.int32) - 1
-    s_mid = z_cell_mid - iz_mid.astype(x.dtype)
-    if comp is not None:
-        s_mid = s_mid + invdz * comp[2]
-    col = jnp.arange(Nz, dtype=jnp.int32)[:, None]
-    if zfold == "clamp":
-        delta_mid = jnp.clip(iz_mid, -NGUARD, Nz) - col
-        delta_mid = jnp.clip(delta_mid, -2, 1)
-    else:
-        delta_mid = jnp.mod(iz_mid - col + 2, Nz) - 2
-    ok = sort["valid"].astype(x.dtype)
+    s_mid = geom["s_sub"]          # comp-folded, ok-masked sub-cell z
+    delta_mid = geom["delta"]      # clipped to J's [-1, 0] window
+    ok = geom["ok"]
 
     def z_blocks(s_shift):
         """Offset-block z weights for sub-cell position s_mid+s_shift,
@@ -450,27 +468,13 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
         sp_ = s_mid + s_shift
         shift = jnp.floor(sp_)
         s = sp_ - shift
-        # Clip into the [-2, 1] offset window (only edge-clipped
-        # stragglers can exceed it; their misplacement sits inside the
-        # damped guard regions)
-        d = jnp.clip(delta_mid + shift.astype(jnp.int32), -2, 1)
+        d = delta_mid + shift.astype(jnp.int32)
         s0 = (1.0 - s) * ok
         s1 = s * ok
         return [s0 * (d == o) + s1 * (d == o - 1) for o in range(-2, 3)]
 
     zw_a = z_blocks(-hz)
     zw_b = z_blocks(hz)
-
-    r_cell_mid = invdr * (jnp.sqrt(x * x + y * y) - rmin) - 0.5
-    ir_mid = jnp.ceil(r_cell_mid).astype(jnp.int32) - 1
-    u_mid = r_cell_mid - ir_mid.astype(x.dtype)
-    if comp is not None:
-        cx_, cy_, cz_ = comp
-        rr = jnp.maximum(jnp.sqrt(x * x + y * y), 1e-30)
-        u_mid = u_mid + invdr * ((x * cx_ + y * cy_) / rr)
-    bn_mid = jnp.clip(jnp.ceil(r_cell_mid).astype(jnp.int32), 0, Nr)
-    ir_buf_mid = jnp.minimum(ir_mid + NGUARD, Nr + NGUARD)
-    below_mid = ir_mid < 0
 
     # Endpoint phases from the (cheaply materialized) endpoint
     # coordinates -- phase DIFFERENCES are small relative to their
@@ -490,23 +494,31 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
                               jnp.stack([one * s_ for s_ in smb]))], Nm)
 
     meta2_ = _channel_meta(Nm, 1, [+1.0], x.dtype)
-    span = dict(zw_a=zw_a, zw_b=zw_b, u_a=u_mid - hr, u_b=u_mid + hr,
-                bn=bn_mid, ir_buf=ir_buf_mid, below=below_mid)
-    outd = _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta2_,
-                                    ruyten_linear, Nz, Nr, zfold)
-    drho = _unpack_channels(outd, 1, Nm)[0]
+    span = dict(zw_a=zw_a, zw_b=zw_b,
+                u_a=geom["u"] - hr, u_b=geom["u"] + hr,
+                bn=geom["bn_idx"], ir_buf=geom["ir_buf"],
+                below=geom["below_axis"])
+
+    # ONE contraction for J + drho: they share the mid-position
+    # one-hot S, and merging fills the MXU lanes far better than a
+    # separate 40-channel drho pass
+    V_D = _build_V_span_diff(span, ph_a, ph_b, wj, meta2_, ruyten_linear)
+    Nrb = Nr + 2 * NGUARD
+    S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=x.dtype)
+    V_J = _build_V(geom, channels, meta)
+    W_J = V_J.shape[2]
+    out_all = _contract(S, jnp.concatenate([V_J, V_D], axis=2))
+    out_J = _reassemble(out_all[..., :W_J], Nz, Nr, zfold, -1, 0,
+                        channels.shape[2])
+    Jr, Jt, Jz = _unpack_channels(out_J, 3, Nm)
+    out_D = _reassemble(out_all[..., W_J:], Nz, Nr, zfold, -2, 1,
+                        ph_a.shape[2])
+    drho = _unpack_channels(out_D, 1, Nm)[0]
     return Jr, Jt, Jz, rho, drho
 
 
-def _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta, ruyten, Nz, Nr,
-                             zfold):
-    """Contract sum_p wj [ph_b S(x_b) - ph_a S(x_a)] with telescoped
-    per-particle product differences (see deposit_rho_J_sorted)."""
-    Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
-    C = ph_a.shape[2]
-    rdt = ph_a.dtype
-    n_off = 5   # offsets -2..2 (window [-2,1] for s0, +1 for s1)
-
+def _build_V_span_diff(span, ph_a, ph_b, wj, meta, ruyten):
+    """V of the telescoped difference deposit (see deposit_rho_J_sorted)."""
     mode0_mask = meta["is_mode0"]
     flips = meta["flip"]
 
@@ -529,7 +541,7 @@ def _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta, ruyten, Nz, Nr,
     wj3 = wj[:, :, None]
 
     blocks = []
-    for o in range(n_off):
+    for o in range(5):   # zw blocks cover offsets -2..2
         zw_a = span["zw_a"][o][:, :, None]
         zw_b = span["zw_b"][o][:, :, None]
         dzw = zw_b - zw_a
@@ -537,23 +549,16 @@ def _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta, ruyten, Nz, Nr,
                              + ph_b * (zw_b * dsr0)))
         blocks.append(wj3 * (dph * (zw_a * sr1_a) + ph_b * (dzw * sr1_a)
                              + ph_b * (zw_b * dsr1)))
-    V = jnp.concatenate(blocks, axis=2)
+    return jnp.concatenate(blocks, axis=2)
 
-    S = jax.nn.one_hot(span["ir_buf"], Nrb, dtype=rdt)
-    out = jnp.einsum("bkr,bkc->brc", S, V,
-                     precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=rdt)
-    out = out.reshape(Nz, Nrb, n_off, 2, C)
 
-    buf = jnp.zeros((Nzb, Nrb, C), dtype=rdt)
-    for i, o in enumerate(range(-2, 3)):
-        lo = o + NGUARD
-        plane = out[:, :, i, 0, :]
-        plane = plane.at[:, 1:, :].add(out[:, :-1, i, 1, :])
-        if lo < 0:
-            buf = buf.at[:lo + Nz].add(plane[-lo:])
-        elif lo + Nz <= Nzb:
-            buf = buf.at[lo:lo + Nz].add(plane)
-        else:
-            buf = buf.at[lo:].add(plane[:Nzb - lo])
-    return _fold_guard_cells(buf, Nz, Nr, zfold)
+def _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta, ruyten, Nz, Nr,
+                             zfold):
+    """Contract sum_p wj [ph_b S(x_b) - ph_a S(x_a)] with telescoped
+    per-particle product differences (see deposit_rho_J_sorted)."""
+    Nrb = Nr + 2 * NGUARD
+    C = ph_a.shape[2]
+    V = _build_V_span_diff(span, ph_a, ph_b, wj, meta, ruyten)
+    S = jax.nn.one_hot(span["ir_buf"], Nrb, dtype=ph_a.dtype)
+    out = _contract(S, V)
+    return _reassemble(out, Nz, Nr, zfold, -2, 1, C)
