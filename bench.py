@@ -13,12 +13,20 @@ window shift, injection, damping).
 1.5 ns/particle/step -- the scale of CUDA FBPIC on a V100-class GPU for
 this workload (the reference publishes no absolute numbers, and it
 cannot run here: no numba, 1 CPU core -- see BASELINE.md).
->1.0 means faster than the target.  Measured r1: 71 ns/particle/step
-(40.9 ms/step, 576k particles) on one TPU v5e chip.  The cost model is
-scatter-bound: the two deposition passes (J, rho_next) are serialized
-at ~13.7 ns/particle-index each (26.4 of 39.7 ms device time); all
-transforms, the PSATD push, the gather, the window and injection fit
-in the remaining ~13 ms.
+>1.0 means faster than the target.
+
+Cost model (r2, measured with in-program chained timers -- the shared
+dev chip shows +-30% run-to-run wall-clock variance, so single bench
+numbers are noisy): fused sorted-dense J+drho deposit ~13-15 ms,
+column sort ~5 ms, field gather ~8 ms, spectral transforms ~10-13 ms
+(3 z-DFT round trips/step after the radix split), push/filters/window
+~8 ms => ~45-60 ms/step at 576k particles (f32, incl. the float32
+d(rho) machinery that makes the physics correct -- see
+tests/test_f32_parity.py).  r1 measured 71 ns/p/step WITHOUT correct
+f32 physics (and with the flagship physics test red).  The next
+mechanism on the roadmap is keeping particles resident in the
+column-padded layout so the per-index sort gather and field gather
+collapse into MXU contractions as well.
 """
 import json
 import time
