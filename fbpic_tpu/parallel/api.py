@@ -43,7 +43,12 @@ class DistributedRun:
     """
 
     def __init__(self, sim, n_devices=None, axis_name="z",
-                 migration_buffer=None, n_guard=None, **step_kwargs):
+                 migration_buffer=None, n_guard=None,
+                 on_migration_overflow="error", **step_kwargs):
+        if on_migration_overflow not in ("error", "warn"):
+            raise ValueError(
+                "on_migration_overflow must be 'error' or 'warn'")
+        self.on_migration_overflow = on_migration_overflow
         self.sim = sim
         config = sim.config
         mesh = make_mesh(n_devices, axis_name=axis_name)
@@ -232,11 +237,14 @@ class DistributedRun:
         self.iteration += int(N)
         lost = int(jax.device_get(self.state.migration_overflow))
         if lost > 0:
+            msg = (f"{lost} particle(s) were dropped because a "
+                   f"migration buffer or the per-rank particle "
+                   f"capacity overflowed; increase migration_buffer "
+                   f"or the species capacity.")
+            if self.on_migration_overflow == "error":
+                raise RuntimeError(msg)
             import warnings
-            warnings.warn(
-                f"{lost} particle(s) were dropped because a migration "
-                f"buffer overflowed; increase migration_buffer.",
-                RuntimeWarning)
+            warnings.warn(msg, RuntimeWarning)
         return self.state
 
     # -- observation ------------------------------------------------------

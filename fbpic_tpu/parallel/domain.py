@@ -202,25 +202,44 @@ def migrate_particles(sp, config_local, zmin, axis_name, buffer_size,
             wrapped_from_right & (from_right["w"] != 0),
             from_right["z"] + Lz_global, from_right["z"])
 
-    # Append the received particles over dead slots: find 2*buffer_size
-    # dead slots via a cheap argsort on (w != 0)
+    # Append the received particles over dead slots.  Each received
+    # buffer is front-packed on its own; COMPACT their concatenation
+    # before any length clamp, so live entries from the right buffer
+    # are never discarded by the truncation (round-2 bug: truncating
+    # the raw concatenation dropped every left-migrating particle
+    # whenever per-rank capacity < 2*buffer_size).
     incoming = {k: jnp.concatenate([from_left[k], from_right[k]])
                 for k in fields}
-    n_in = min(2 * buffer_size, sp.w.shape[0])
-    if n_in < 2 * buffer_size:
-        # Capacity smaller than the combined buffers: live incoming
-        # particles beyond the first n_in slots are counted as lost
-        n_lost = n_lost + jnp.sum(
-            incoming["w"][n_in:] != 0).astype(jnp.int32)
-        incoming = {k: v[:n_in] for k, v in incoming.items()}
+    capacity = sp.w.shape[0]
+    n_in = min(2 * buffer_size, capacity)
+    valid_raw = incoming["w"] != 0
+    pos = jnp.cumsum(valid_raw) - 1
+    take = valid_raw & (pos < n_in)
+    packed = {}
+    for name in fields:
+        arr = incoming[name]
+        zero = jnp.zeros((), arr.dtype)
+        buf = jnp.zeros(n_in, arr.dtype)
+        packed[name] = buf.at[jnp.where(take, pos, n_in)].set(
+            jnp.where(take, arr, zero), mode="drop")
+    n_live_in = jnp.sum(valid_raw)
+
+    # Write compacted arrivals into genuinely dead slots only.  Dead
+    # slots come first in dead_order, so arrival i lands in
+    # dead_order[i] and the write is safe iff i < n_dead.  Arrivals
+    # beyond the dead-slot count (or beyond n_in) are counted as lost
+    # -- a live resident particle is never silently overwritten.
     dead_order = jnp.argsort(sp.w != 0)    # dead slots first
+    n_dead = jnp.sum(sp.w == 0)
     slots = dead_order[:n_in]
-    valid = incoming["w"] != 0
+    valid = (packed["w"] != 0) & (jnp.arange(n_in) < n_dead)
+    n_lost = n_lost + (n_live_in
+                       - jnp.sum(valid)).astype(jnp.int32)
     updates = {}
     for name in fields:
         arr = getattr(sp, name)
         old = arr[slots]
-        new = jnp.where(valid, incoming[name], old)
+        new = jnp.where(valid, packed[name], old)
         updates[name] = arr.at[slots].set(new)
     return dataclasses.replace(sp, **updates), n_lost
 
