@@ -699,7 +699,6 @@ class Simulation:
             self.aux.ruyten_linear,
             zfold=("periodic" if self.config.boundaries_z == "periodic"
                    else "clamp"))
-        invvol = np.asarray(self.aux.invvol)[:, None, :]
         return tuple((a * self.aux.invvol[:, None, :]).to_numpy()
                      for a in (rho, Jr, Jt, Jz))
 

@@ -86,17 +86,25 @@ _STREAM_COMPTON = 1
 _STREAM_IONIZE = 2
 
 
-def _stream_key(state, stream, species_index):
+def _stream_key(state, stream, species_index, axis_name=None):
     """Per-(purpose, species, iteration) PRNG key derived from the
     user's random_seed (reference: utils/random_seed.py seeds all
     randomness; here the seed rides in SimState so two runs with
-    different seeds draw different device-side noise)."""
+    different seeds draw different device-side noise).
+
+    axis_name: fold the mesh rank in so Monte-Carlo streams are
+    independent across slabs (reference seeds per MPI proc,
+    random_seed.py:15).  Left out for the injection stream, whose
+    replicated ring bookkeeping relies on identical draws."""
     seed = state.seed
     if seed is None:
         seed = jnp.uint32(0)
     root = jax.random.PRNGKey(seed)
     key = jax.random.fold_in(root, stream * 4096 + species_index)
-    return jax.random.fold_in(key, state.iteration)
+    key = jax.random.fold_in(key, state.iteration)
+    if axis_name is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    return key
 
 
 def deposit_rho_spect(config, aux, species, species_configs, zmin,
@@ -494,34 +502,53 @@ def _advance_id(next_lo, next_hi, n):
     return lo, next_hi + carry
 
 
-def _append_new_particles(esp, new):
+def _append_new_particles(esp, new, axis_name=None):
     """Write a front-packed creation buffer (w = 0 marks empty slots)
     into a species' ring at its cursor; assigns fresh ids if the
-    species is tracked.  Shared by ionization and Compton."""
+    species is tracked.  Shared by ionization and Compton.
+
+    axis_name: on a z-decomposed mesh the scalar ring cursor and id
+    counters are REPLICATED (state_specs declares them P()), so every
+    rank must advance them identically even though creation counts
+    differ per rank.  Each rank writes its block at the cursor plus an
+    exclusive prescan of the per-rank counts, and all ranks advance by
+    the global total -- the analog of the reference's rank-partitioned
+    id blocks (tracking/tracking.py:66)."""
     from ..particles.injection import write_ring
     mask = new["w"] != 0
     n_new = jnp.sum(mask.astype(jnp.int32))
+    if axis_name is None:
+        off = jnp.zeros((), jnp.int32)
+        total = n_new
+    else:
+        counts = jax.lax.all_gather(n_new, axis_name)      # (ndev,)
+        me = jax.lax.axis_index(axis_name)
+        rank_before = jnp.arange(counts.shape[0]) < me
+        off = jnp.sum(jnp.where(rank_before, counts, 0)).astype(jnp.int32)
+        total = jnp.sum(counts).astype(jnp.int32)
+    start = jnp.mod(esp.next_free + off, esp.capacity).astype(jnp.int32)
     updates = {}
     for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
-        updates[name] = write_ring(getattr(esp, name), esp.next_free,
+        updates[name] = write_ring(getattr(esp, name), start,
                                    new[name], esp.capacity, mask)
     for name in ("comp_x", "comp_y", "comp_z"):
         arr = getattr(esp, name)
         if arr is not None:
-            updates[name] = write_ring(arr, esp.next_free,
+            updates[name] = write_ring(arr, start,
                                        jnp.zeros_like(new["x"]),
                                        esp.capacity, mask)
     if esp.ids is not None:
         nb = new["x"].shape[0]
-        new_lo, new_hi = _two_word_ids(esp.next_id, esp.next_id_hi, nb)
-        updates["ids"] = write_ring(esp.ids, esp.next_free, new_lo,
+        base_lo, base_hi = _advance_id(esp.next_id, esp.next_id_hi, off)
+        new_lo, new_hi = _two_word_ids(base_lo, base_hi, nb)
+        updates["ids"] = write_ring(esp.ids, start, new_lo,
                                     esp.capacity, mask)
-        updates["ids_hi"] = write_ring(esp.ids_hi, esp.next_free,
+        updates["ids_hi"] = write_ring(esp.ids_hi, start,
                                        new_hi, esp.capacity, mask)
         updates["next_id"], updates["next_id_hi"] = _advance_id(
-            esp.next_id, esp.next_id_hi, n_new)
+            esp.next_id, esp.next_id_hi, total)
     updates["next_free"] = jnp.mod(
-        esp.next_free + n_new, esp.capacity).astype(jnp.int32)
+        esp.next_free + total, esp.capacity).astype(jnp.int32)
     return dataclasses.replace(esp, **updates)
 
 
@@ -720,18 +747,22 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         species = [half_push_x(config, options, sp, zmin) for sp in species]
 
         # --- Elementary processes at t = (n+1/2) dt: Compton scattering
-        # (reference: main.py:499-503)
+        # (reference: main.py:499-503).  On a mesh, Monte-Carlo streams
+        # fold the rank in (independent per slab) and ring appends use
+        # the replicated-cursor protocol (_append_new_particles).
+        ax = halo.axis_name if halo is not None else None
         for i, sc in enumerate(species_configs):
             if sc.compton is None:
                 continue
             from ..particles.compton import handle_compton
-            key = _stream_key(state, _STREAM_COMPTON, i)
+            key = _stream_key(state, _STREAM_COMPTON, i, axis_name=ax)
             sp_new, new_ph = handle_compton(
                 species[i], sc.compton, comp_auxes[i], dt,
                 state.time + 0.5 * dt, key)
             species[i] = sp_new
             tgt = sc.compton.target_index
-            species[tgt] = _append_new_particles(species[tgt], new_ph)
+            species[tgt] = _append_new_particles(species[tgt], new_ph,
+                                                 axis_name=ax)
 
         # --- Elementary processes at t = (n+1/2) dt: ADK ionization
         # (reference: main.py:499-503)
@@ -740,7 +771,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 continue
             from ..particles.ionization import ionize, \
                 select_level_electrons
-            key = _stream_key(state, _STREAM_IONIZE, i)
+            key = _stream_key(state, _STREAM_IONIZE, i, axis_name=ax)
             sp_new, new_elec = ionize(species[i], *gathered_EB[i],
                                       sc.ionizer, ion_auxes[i], key)
             species[i] = sp_new
@@ -750,10 +781,12 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 for off, tgt in enumerate(sc.ionizer.per_level_targets):
                     lvl = sc.ionizer.level_start + off
                     sub = select_level_electrons(new_elec, lvl)
-                    species[tgt] = _append_new_particles(species[tgt], sub)
+                    species[tgt] = _append_new_particles(
+                        species[tgt], sub, axis_name=ax)
             else:
                 tgt = sc.ionizer.target_index
-                species[tgt] = _append_new_particles(species[tgt], new_elec)
+                species[tgt] = _append_new_particles(
+                    species[tgt], new_elec, axis_name=ax)
 
         # --- Column sort for the dense (MXU) deposition path: built
         # once per step after all particle creation, reused by the J
@@ -876,8 +909,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 contribs.append(rho2 - rho1)
             if contribs:
                 tot = contribs[0]
-                for cturb in contribs[1:]:
-                    tot = tot + cturb
+                for contrib in contribs[1:]:
+                    tot = tot + contrib
                 tot = tot * aux.invvol[:, None, :]
                 drho = tr.interp2spect_scal(aux.mats, tot)
                 if options.filter_currents:

@@ -300,8 +300,12 @@ def make_multichip_step(config_global: GridConfig, species_configs,
             np.pad(prof, g, mode="constant"), jnp.float64
             if jax.config.jax_enable_x64 else jnp.float32)
 
+    _axis = axis_name
+
     class Halo:
         """Exchange + global-geometry hooks for the decomposed step."""
+
+        axis_name = _axis
 
         def exchange_add(self, fields):
             return exchange_guards_add(fields, g, axis_name)

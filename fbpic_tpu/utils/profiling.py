@@ -33,14 +33,18 @@ def trace(logdir, create_perfetto_link=False):
 
 @contextlib.contextmanager
 def section(name, sink=print):
-    """Wall-clock timer for a host-side section (blocks on device)."""
+    """Wall-clock timer for a host-side section (blocks on device).
+
+    TPU executes queued programs in order per device, so blocking on a
+    freshly enqueued trivial computation drains everything the section
+    enqueued before the timer stops."""
     import jax
     t0 = time.perf_counter()
     try:
         yield
     finally:
         try:
-            from jax import block_until_ready  # noqa
+            jax.block_until_ready(jax.device_put(0.0) + 0.0)
         except Exception:
             pass
         sink(f"[fbpic_tpu] {name}: {(time.perf_counter()-t0)*1e3:.2f} ms")
