@@ -350,6 +350,12 @@ class Simulation:
             iteration=jnp.asarray(0, dtype=jnp.int32),
             mw_zref=jnp.asarray(float(zmin_total), dtype=rdt),
             seed=jnp.asarray(self._device_seed, dtype=jnp.uint32),
+            # Materialized from the start: a None -> array flip after
+            # the first step() would change the state pytree structure
+            # and force a full retrace of the (n_steps-generic)
+            # multi_step on the SECOND call
+            sort_overflow=jnp.zeros((), jnp.int32),
+            ring_overwrite=jnp.zeros((), jnp.int32),
         )
         self.species_configs = []
         self._species_counts = []
@@ -529,8 +535,8 @@ class Simulation:
                 occ = np.bincount(cols[(cols >= 0)
                                        & (cols < self.config.Nz)],
                                   minlength=self.config.Nz).max()
-                # 1.5x margin; column overflow is detected host-side
-                # after every chunk (see _check_sort_overflow)
+                # 1.5x margin; column overflow is counted in-jit every
+                # step and auto-bumps K (_consume_overflow_counters)
                 sort_K = int(-(-3 * max(int(occ), 86) // 2 // 128) * 128)
             else:
                 sort_K = 0
@@ -887,66 +893,55 @@ class Simulation:
         jax.block_until_ready(self.state)
         if progress is not None:
             progress.print_summary()
-        self._check_ring_overwrite()
-        self._check_sort_overflow()
+        self._consume_overflow_counters()
 
-    def _check_sort_overflow(self):
-        """Warn when a z column holds more live particles than the
-        sorted-deposit capacity K (those would silently drop charge).
-        Host-side, once per step() call."""
-        if getattr(self, "_sort_warned", False):
+    def _consume_overflow_counters(self):
+        """Check the IN-JIT overflow counters (one batched host read
+        per step() call -- each host<->device round trip costs tens of
+        ms on tunneled backends).
+
+        sort_overflow > 0: some z column exceeded the sorted-deposit
+        capacity K during the chunk and its excess particles' charge
+        was dropped.  The run is warned and sort_K is auto-bumped
+        (1.5x, lane-rounded) so subsequent chunks recompile with
+        enough headroom -- the analog of the reference GPU sort's
+        unbounded reallocation.
+
+        ring_overwrite > 0: continuous injection clobbered live
+        in-range particles (fixed-capacity ring full; the reference
+        grows its arrays without bound, particles/particles.py)."""
+        state = self.state
+        if state.sort_overflow is None and state.ring_overwrite is None:
             return
-        for i, sc in enumerate(self.species_configs):
-            if sc.sort_K <= 0:
-                continue
-            sp = self.state.species[i]
-            w = np.asarray(sp.w)
-            z = np.asarray(sp.z)[w != 0]
-            if z.size == 0:
-                continue
-            cols = np.floor((z - float(self.state.zmin))
-                            / self.config.dz).astype(int)
-            cols = np.clip(cols, 0, self.config.Nz - 1)
-            occ = np.bincount(cols, minlength=self.config.Nz).max()
-            if occ > sc.sort_K:
-                import warnings
-                warnings.warn(
-                    f"species {i} ({sc.name}): a z column holds {occ} "
-                    f"particles > sort_K={sc.sort_K}; the sorted "
-                    f"deposition drops the excess.  Pass a larger "
-                    f"sort_K to add_new_species.", RuntimeWarning)
-                self._sort_warned = True
-
-    def _check_ring_overwrite(self):
-        """Warn when continuous injection is about to overwrite LIVE
-        in-range particles (e.g. trapped/accelerated electrons that
-        stay with the moving window while their ring slot ages out).
-
-        The reference grows its particle arrays without bound
-        (particles/particles.py); here the arrays are fixed-capacity
-        rings sized for ~1.2 box crossings by default, so a long run
-        that traps charge needs a larger `capacity` in add_new_species.
-        """
-        if self.moving_win is None:
-            return
-        for i, cfg in enumerate(self._injector_configs):
-            if cfg is None or getattr(self, "_ring_warned", False):
-                continue
-            sp = self.state.species[i]
-            col = int(round(self.config.dz / cfg.dz_particles
-                            * self._injector_auxes[i].r.shape[0]))
-            look = min(8 * max(col, 1), sp.capacity)
-            idx = (np.asarray(sp.next_free)
-                   + np.arange(look)) % sp.capacity
-            w = np.asarray(sp.w[idx])
-            z = np.asarray(sp.z[idx])
-            z_lo = self.zmin + self.config.n_guard * self.config.dz
-            n_live = int(((w != 0) & (z > z_lo)).sum())
-            if n_live:
-                warnings.warn(
-                    f"Species '{self.species_configs[i].name}': continuous "
-                    f"injection is about to overwrite {n_live} live "
-                    "particles (ring buffer full -- e.g. trapped charge "
-                    "that outlived one box crossing). Increase `capacity` "
-                    "in add_new_species to keep them.")
-                self._ring_warned = True
+        n_sort, n_ring = jax.device_get(
+            (state.sort_overflow, state.ring_overwrite))
+        if n_sort is not None and int(n_sort) > 0:
+            bumped = []
+            for i, sc in enumerate(self.species_configs):
+                if sc.sort_K <= 0:
+                    continue
+                new_K = int(-(-3 * sc.sort_K // 2 // 128) * 128)
+                self.species_configs[i] = dataclasses.replace(
+                    sc, sort_K=new_K)
+                bumped.append(f"{sc.name}: {sc.sort_K}->{new_K}")
+            self._step_fns.clear()
+            warnings.warn(
+                f"{int(n_sort)} particle-step(s) exceeded a z column's "
+                f"sorted-deposit capacity during this chunk (their "
+                f"charge was dropped); sort_K auto-bumped "
+                f"({'; '.join(bumped)}) for subsequent steps.  Pass a "
+                f"larger sort_K to add_new_species to avoid the "
+                f"recompile.", RuntimeWarning)
+        if n_ring is not None and int(n_ring) > 0:
+            warnings.warn(
+                f"Continuous injection overwrote {int(n_ring)} live "
+                "particle(s) (ring buffer full -- e.g. trapped charge "
+                "that outlived one box crossing). Increase `capacity` "
+                "in add_new_species to keep them.", RuntimeWarning)
+        if (n_sort is not None and int(n_sort) > 0) or (
+                n_ring is not None and int(n_ring) > 0):
+            zero = jnp.zeros((), jnp.int32)
+            self.state = dataclasses.replace(
+                self.state,
+                sort_overflow=(None if n_sort is None else zero),
+                ring_overwrite=(None if n_ring is None else zero))

@@ -33,3 +33,14 @@ class SimState:
     # buffer overflowed (int32 scalar, psum'd across devices; None on
     # single-device runs).  Simulation surfaces a warning when > 0.
     migration_overflow: jax.Array = None
+    # Running count of particle-steps whose z column exceeded the
+    # sorted-deposit capacity sort_K (their charge is dropped by the
+    # dense deposition).  Computed IN-JIT from the sort histogram every
+    # step; Simulation checks it after every step() call and auto-bumps
+    # sort_K (one recompile) -- no silent loss (reference has no analog:
+    # its GPU sort reallocates).  int32 scalar; None until first step.
+    sort_overflow: jax.Array = None
+    # Running count of live in-range particles that continuous
+    # injection overwrote (ring buffer full; trapped charge that
+    # outlived one box crossing).  int32 scalar; None until first step.
+    ring_overwrite: jax.Array = None

@@ -155,7 +155,7 @@ def deposit_rho_spect(config, aux, species, species_configs, zmin,
 
 def deposit_J_spect(config, aux, species, species_configs, zmin,
                     antenna_series=(), iteration=None, sorts=None,
-                    fused=None):
+                    fused=None, antenna_bounds=None):
     """Deposit current of all species -> spectral (Jp, Jm, Jz).
 
     `antenna_series`: per-antenna precomputed surface currents, added
@@ -210,7 +210,8 @@ def deposit_J_spect(config, aux, species, species_configs, zmin,
         from ..lpa_utils.laser.antenna_injection import add_antenna_current
         for series in antenna_series:
             Jr, Jt = add_antenna_current(Jr, Jt, series, iteration, zmin,
-                                         config.dz, config.Nz)
+                                         config.dz, config.Nz,
+                                         own_bounds=antenna_bounds)
     return tr.interp2spect_J_fields(aux.mats, Jr, Jt, Jz)
 
 
@@ -650,7 +651,15 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     updates["next_free"] = jnp.mod(
         sp.next_free + n_cols * col_size, cap).astype(sp.next_free.dtype)
     updates["inj_z_end"] = new_z_end
-    return dataclasses.replace(sp, **updates)
+
+    # In-jit ring-overwrite accounting: count live in-range particles
+    # the write clobbers (ring full -- trapped charge that outlived a
+    # box crossing).  Surfaced host-side after every chunk.
+    slots = jnp.mod(sp.next_free + slot_idx, cap)
+    z_lo = zmin_g + max(n_guard_g, 1) * config.dz
+    clobbered = jnp.sum(mask & (sp.w[slots] != 0)
+                        & (sp.z[slots] > z_lo)).astype(jnp.int32)
+    return dataclasses.replace(sp, **updates), clobbered
 
 
 # ---------------------------------------------------------------------
@@ -672,8 +681,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         exchange_period = (options.exchange_period
                            if (options.reuse_rho_prev
                                and config.current_correction
-                               != "cross-deposition"
-                               and halo is None)
+                               != "cross-deposition")
                            else 1)
         spect, interp = state.spect, state.interp
         species = list(state.species)
@@ -694,9 +702,12 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         #     rho_next, which is exact because the particle set is
         #     frozen and the removal margin keeps the array edges
         #     charge-free (the circular shift only wraps empty cells).
+        ring_overwrite = state.ring_overwrite
+        if ring_overwrite is None:
+            ring_overwrite = jnp.zeros((), jnp.int32)
         if config.boundaries_z == "open":
             def _exchange(operands):
-                species, _rho_prev = operands
+                species, _rho_prev, n_clob = operands
                 bounds = (halo.removal_bounds(zmin_g)
                           if halo is not None else None)
                 species = [remove_outside_particles(config, sp, zmin,
@@ -713,24 +724,27 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                               if halo is not None else None)
                         imask = (halo.is_last()
                                  if halo is not None else None)
-                        species[i] = continuous_injection(
+                        species[i], clob = continuous_injection(
                             config, options, aux, sp, sc, inj_cfg,
                             inj_auxes[i], zmin,
                             _stream_key(state, _STREAM_INJECT, i),
                             grid_globals=gg, inject_mask=imask)
+                        if halo is not None:
+                            clob = jax.lax.psum(clob, halo.axis_name)
+                        n_clob = n_clob + clob
                 rho_prev = deposit_rho_spect(config, aux, species,
                                              species_configs, zmin)
                 if options.filter_currents:
                     rho_prev = ps.filter_scalar(rho_prev, aux.filter_z,
                                                 aux.filter_r)
-                return tuple(species), rho_prev
+                return tuple(species), rho_prev, n_clob
 
-            operands = (tuple(species), spect.rho_prev)
+            operands = (tuple(species), spect.rho_prev, ring_overwrite)
             if exchange_period <= 1:
-                species, rho_prev = _exchange(operands)
+                species, rho_prev, ring_overwrite = _exchange(operands)
             else:
                 do_ex = (state.iteration % exchange_period) == 0
-                species, rho_prev = jax.lax.cond(
+                species, rho_prev, ring_overwrite = jax.lax.cond(
                     do_ex, _exchange, lambda ops: ops, operands)
             species = list(species)
             spect = dataclasses.replace(spect, rho_prev=rho_prev)
@@ -792,12 +806,44 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # once per step after all particle creation, reused by the J
         # and rho_next deposits (positions drift <= dz/2 from here).
         sorts = {}
+        sort_overflow = state.sort_overflow
+        if sort_overflow is None:
+            sort_overflow = jnp.zeros((), jnp.int32)
+        # The fused path consumes the plan at the sort-time positions,
+        # so the particle data can ride THROUGH the sort (payload plan
+        # -- the fast path; see build_column_sort).  Non-fused sorted
+        # deposits re-gather CURRENT arrays after the second half-push
+        # and need the legacy per-particle idx plan.
+        will_fuse = (options.fused_deposit and options.move_positions
+                     and not (options.correct_currents
+                              and config.current_correction
+                              == "cross-deposition"))
         for i, sc in enumerate(species_configs):
             if (sc.sort_K > 0 and sc.particle_shape == "linear"
                     and not sc.is_tracer):
+                sp = species[i]
+                # Payload prefix convention of _padded_arrays:
+                # x, y, z, w_eff, u, inv_gamma [, Kahan residuals].
+                # w_eff folds the ionization level so the padded
+                # weight is the deposit weight.
+                w_eff = sp.w
+                if sp.ionization_level is not None:
+                    w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
+                payload = None
+                if will_fuse:
+                    payload = [sp.x, sp.y, sp.z, w_eff,
+                               sp.ux, sp.uy, sp.uz, sp.inv_gamma]
+                    cmp_ = _comp_of(sp)
+                    if cmp_ is not None:
+                        payload += list(cmp_)
+                    payload = tuple(payload)
                 sorts[i] = build_column_sort(
-                    species[i].z, species[i].w, zmin, 1.0 / config.dz,
-                    config.Nz, sc.sort_K)
+                    sp.z, w_eff, zmin, 1.0 / config.dz,
+                    config.Nz, sc.sort_K, payload=payload)
+                n_over = sorts[i]["n_over"]
+                if halo is not None:
+                    n_over = jax.lax.psum(n_over, halo.axis_name)
+                sort_overflow = sort_overflow + n_over
         sorts = sorts or None
 
         # --- Fused sorted-dense deposition (TPU): J at the current
@@ -820,11 +866,13 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                          == "cross-deposition")):
             from ..particles.sorted_deposit import deposit_rho_J_sorted
             fused_J, fused_rho = {}, {}
-            # With drho in hand and no multi-chip halo, rho_next can be
-            # DERIVED as rho_prev + drho (exact for the correction's
-            # and diagnostics' purposes) -- skipping one whole MXU
-            # contraction + geometry per species
-            derive_rho_next = want_drho and halo is None
+            # With drho in hand, rho_next can be DERIVED as
+            # rho_prev + drho (exact for the correction's and
+            # diagnostics' purposes) -- skipping one whole MXU
+            # contraction + geometry per species.  Valid on a mesh too
+            # now that rho is a per-slab local quantity (never
+            # guard-exchanged, like the reference).
+            derive_rho_next = want_drho
             for i in sorts:
                 sp, sc = species[i], species_configs[i]
                 w_eff = sp.w
@@ -843,11 +891,17 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 if want_drho:
                     fused_drho[i] = out[4]
 
-        # --- Current deposition at t = (n+1/2) dt
+        # --- Current deposition at t = (n+1/2) dt.  On a mesh the
+        # antenna (a z-plane current source, not a particle) is
+        # deposited only by the rank that OWNS its position -- its
+        # guard-cell spill is folded to the neighbor by the exchange,
+        # exactly like particle deposits (reference hands the antenna
+        # between ranks, antenna_injection.py:314).
+        a_bounds = halo.own_bounds(zmin) if halo is not None else None
         Jp, Jm, Jz = deposit_J_spect(config, aux, species, species_configs,
                                      zmin, antenna_series=antenna_series,
                                      iteration=state.iteration, sorts=sorts,
-                                     fused=fused_J)
+                                     fused=fused_J, antenna_bounds=a_bounds)
         if options.filter_currents:
             Jp, Jm, Jz = ps.filter_vector(Jp, Jm, Jz, aux.filter_z,
                                           aux.filter_r)
@@ -943,13 +997,26 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         if options.correct_currents:
             spect = correct_currents(config, aux, spect, drho=drho)
         if halo is not None:
-            fs = tr.ifft_z_many(aux.mats, [spect.Jp, spect.Jm, spect.Jz,
-                                           spect.rho_next, spect.rho_prev])
-            fs = halo.exchange_add(fs)
-            Jp, Jm, Jz, rho_next, rho_prev = tr.fft_z_many(aux.mats, fs)
-            spect = dataclasses.replace(spect, Jp=Jp, Jm=Jm, Jz=Jz,
-                                        rho_next=rho_next,
-                                        rho_prev=rho_prev)
+            # Only the (corrected) currents are guard-exchanged; rho
+            # stays per-slab LOCAL, exactly like the reference
+            # (main.py:526-540: deposit('rho_*',
+            # exchange=(use_true_rho is True))): with use_true_rho
+            # False the field push derives its rho terms from div E /
+            # div J, so the correction must mix only local-consistent
+            # sources.  (Exchanging rho here and reusing it as the
+            # next steps' rho_prev would make the correction's
+            # d(rho)/dt inconsistent in the overlap strips -- measured
+            # as a catastrophic 5e2 deviation with exchange_period=4.)
+            fields = [spect.Jp, spect.Jm, spect.Jz]
+            extra = options.use_true_rho or options.correct_divE
+            if extra:
+                fields += [spect.rho_next, spect.rho_prev]
+            fs = halo.exchange_add(tr.ifft_z_many(aux.mats, fields))
+            out = tr.fft_z_many(aux.mats, fs)
+            updates = dict(Jp=out[0], Jm=out[1], Jz=out[2])
+            if extra:
+                updates.update(rho_next=out[3], rho_prev=out[4])
+            spect = dataclasses.replace(spect, **updates)
 
         # --- PSATD field push (+ rho_prev <- rho_next)
         spect = push_fields(config, aux, spect, options.use_true_rho)
@@ -1000,9 +1067,22 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             mw_zref=mw_zref,
             seed=state.seed,
             migration_overflow=state.migration_overflow,
+            sort_overflow=sort_overflow,
+            ring_overwrite=ring_overwrite,
         )
 
     return step
+
+
+def ensure_counters(state: SimState) -> SimState:
+    """Materialize the optional overflow counters (fori_loop carries
+    need a fixed structure)."""
+    updates = {}
+    if state.sort_overflow is None:
+        updates["sort_overflow"] = jnp.zeros((), jnp.int32)
+    if state.ring_overwrite is None:
+        updates["ring_overwrite"] = jnp.zeros((), jnp.int32)
+    return dataclasses.replace(state, **updates) if updates else state
 
 
 def make_step(config: GridConfig, species_configs, options: StepOptions):
@@ -1053,7 +1133,7 @@ def make_multi_step(config: GridConfig, species_configs,
             0, n_steps,
             lambda i, s: step(s, aux, inj_auxes, ion_auxes,
                               antenna_series, comp_auxes),
-            state)
+            ensure_counters(state))
 
     return jax.jit(multi_step, donate_argnums=(0,))
 
@@ -1079,7 +1159,8 @@ def make_multi_step_capture(config: GridConfig, species_configs,
                       comp_auxes)
             caps = tuple(f(s2, aux) for f in capture_fns)
             return s2, caps
-        state2, caps = jax.lax.scan(body, state, None, length=n_steps)
+        state2, caps = jax.lax.scan(body, ensure_counters(state), None,
+                                    length=n_steps)
         return state2, caps
 
     return jax.jit(multi_step, static_argnums=(2,), donate_argnums=(0,))

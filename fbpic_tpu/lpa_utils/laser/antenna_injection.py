@@ -113,10 +113,13 @@ class LaserAntenna(object):
 
 
 def add_antenna_current(Jr_grid, Jt_grid, series: AntennaSeries,
-                        iteration, zmin, dz, Nz):
+                        iteration, zmin, dz, Nz, own_bounds=None):
     """Add the antenna's current slice onto the grid (inside jit).
 
     Linear weights between the two z cells adjacent to the antenna.
+    `own_bounds`: on a z-decomposed mesh, the (z_lo, z_hi) interval this
+    rank owns -- the antenna deposits only on its owning rank (spill
+    into guard cells is guard-added to the neighbor, like particles).
     """
     i = iteration - series.it0
     i = jnp.clip(i, 0, series.z_pos.shape[0] - 1)
@@ -131,6 +134,9 @@ def add_antenna_current(Jr_grid, Jt_grid, series: AntennaSeries,
     iz0c = jnp.clip(iz0, 0, Nz - 1)
     iz1c = jnp.clip(iz0 + 1, 0, Nz - 1)
     in_box = (iz0 >= 0) & (iz0 < Nz - 1)
+    if own_bounds is not None:
+        in_box = in_box & (z_ant >= own_bounds[0]) \
+            & (z_ant < own_bounds[1])
     s0 = jnp.where(in_box, s0, 0.0)
     s1 = jnp.where(in_box, s1, 0.0)
 

@@ -63,13 +63,8 @@ class DistributedRun:
         self.ndev = ndev
 
         options = sim.build_options(**step_kwargs)
-        if migration_buffer is None:
-            # Sized for ~2 columns' worth of particles crossing per
-            # exchange (window at c moves 1 column/step; exchanges are
-            # every step in the decomposed step)
-            occ = max((sc.sort_K for sc in sim.species_configs),
-                      default=0)
-            migration_buffer = max(2048, 2 * occ)
+        # migration_buffer=None -> auto-sized in make_multichip_step
+        # from the (guard-clamped) exchange period and column occupancy
         self.multi_step, self.config_local = dom.make_multichip_step(
             config, tuple(sim.species_configs), options, mesh,
             axis_name=axis_name, migration_buffer=migration_buffer,
@@ -203,10 +198,14 @@ class DistributedRun:
             seed=state.seed,
             migration_overflow=jnp.zeros((), jnp.int32),
         )
-        # Physically shard over the mesh
+        # Physically shard over the mesh.  Copy every leaf first:
+        # device_put may ALIAS buffers whose sharding already matches
+        # (replicated scalars), and the donating jit would then delete
+        # the original sim.state leaves.
         specs = self._state_specs(state)
         shardings = jax.tree_util.tree_map(
             lambda s: NamedSharding(self.mesh, s), specs)
+        state = jax.tree_util.tree_map(jnp.array, state)
         return jax.device_put(state, shardings)
 
     def _state_specs(self, state):
@@ -226,15 +225,68 @@ class DistributedRun:
     # -- running ----------------------------------------------------------
 
     def step(self, N=1):
-        """Advance the decomposed simulation N steps."""
+        """Advance the decomposed simulation N steps.
+
+        Honors the diagnostics and checkpoints registered on the
+        underlying Simulation (``sim.diags`` / ``sim.checkpoints``):
+        the run is chunked to their period boundaries, the global state
+        is gathered to the host and written through the SAME diagnostic
+        classes as a single-chip run (the TPU analog of the reference's
+        gather_grid/gather_ptcl + rank-0 writes,
+        /root/reference/fbpic/openpmd_diag/generic_diag.py:124-166 and
+        boundary_communicator.py:964-1222).
+        """
         sim = self.sim
         inj_auxes = (tuple(sim._injector_auxes)
                      if sim.moving_win is not None else ())
         ion_auxes = tuple(sim._ionizer_auxes)
         comp_auxes = tuple(sim._compton_auxes)
-        self.state = self._jit_step(self.state, self.aux, int(N),
-                                    inj_auxes, ion_auxes, (), comp_auxes)
-        self.iteration += int(N)
+
+        writers = list(sim.diags) + list(sim.checkpoints)
+        if writers and self.iteration == 0:
+            self.sync_to_sim()
+            for diag in sim.diags:
+                diag.write(sim)
+
+        done = 0
+        while done < N:
+            chunk = N - done
+            if writers:
+                period = min(getattr(d, "period", N) for d in writers)
+                next_boundary = period - (self.iteration % period)
+                chunk = min(chunk, max(1, next_boundary))
+            antenna_series = self._antenna_series(chunk)
+            self.state = self._jit_step(self.state, self.aux, int(chunk),
+                                        inj_auxes, ion_auxes,
+                                        antenna_series, comp_auxes)
+            done += chunk
+            self.iteration += int(chunk)
+            self._check_migration()
+            if writers and any(
+                    self.iteration % getattr(d, "period", N) == 0
+                    for d in writers):
+                self.sync_to_sim()
+                for writer in writers:
+                    writer.write(sim)
+        return self.state
+
+    def _antenna_series(self, chunk):
+        """Host-precomputed antenna currents for one chunk (global
+        coordinates; each rank masks the deposit to its owned slab)."""
+        sim = self.sim
+        if not sim.laser_antennas:
+            return ()
+        import dataclasses as _dc
+        series_list = []
+        for antenna in sim.laser_antennas:
+            series = antenna.compute_series(
+                self.iteration * sim.dt, chunk, self.sim.config.dz)
+            series = _dc.replace(
+                series, it0=jnp.asarray(self.iteration, jnp.int32))
+            series_list.append(series)
+        return tuple(series_list)
+
+    def _check_migration(self):
         lost = int(jax.device_get(self.state.migration_overflow))
         if lost > 0:
             msg = (f"{lost} particle(s) were dropped because a "
@@ -245,7 +297,130 @@ class DistributedRun:
                 raise RuntimeError(msg)
             import warnings
             warnings.warn(msg, RuntimeWarning)
-        return self.state
+
+    # -- gather to host ----------------------------------------------------
+
+    def _unslice_spect(self, F):
+        """Concat of per-slab spectral CArr -> global single-chip
+        spectral CArr (inverse of _reslice_spect): local inverse z-DFT
+        to partial space, slab-interior concatenation, global forward
+        z-DFT."""
+        Nzl = self.config_local.Nz
+        Nm = F.re.shape[0]
+        re = np.asarray(F.re).reshape(Nm, self.ndev, Nzl, -1)
+        im = np.asarray(F.im).reshape(Nm, self.ndev, Nzl, -1)
+        parts_re, parts_im = [], []
+        for i in range(self.ndev):
+            slab = CArr(jnp.asarray(re[:, i]), jnp.asarray(im[:, i]))
+            (partial,) = tr.ifft_z_many(self.aux.mats, [slab])
+            parts_re.append(np.asarray(partial.re)[:,
+                                                   self.g:self.g
+                                                   + self.Nz_int])
+            parts_im.append(np.asarray(partial.im)[:,
+                                                   self.g:self.g
+                                                   + self.Nz_int])
+        glob = CArr(jnp.asarray(np.concatenate(parts_re, axis=1)),
+                    jnp.asarray(np.concatenate(parts_im, axis=1)))
+        (out,) = tr.fft_z_many(self.sim.aux.mats, [glob])
+        return out
+
+    def _unslice_interp(self, F):
+        Nzl = self.config_local.Nz
+        Nm = F.re.shape[0]
+        re = np.asarray(F.re).reshape(Nm, self.ndev, Nzl, -1)
+        im = np.asarray(F.im).reshape(Nm, self.ndev, Nzl, -1)
+        sl = slice(self.g, self.g + self.Nz_int)
+        return CArr(
+            jnp.asarray(np.concatenate(
+                [re[:, i, sl] for i in range(self.ndev)], axis=1)),
+            jnp.asarray(np.concatenate(
+                [im[:, i, sl] for i in range(self.ndev)], axis=1)))
+
+    def gather_state(self):
+        """Reassemble a global single-chip SimState from the sharded
+        state (fields from slab interiors, live particles from all
+        rank blocks), matching the structure of ``sim.state``."""
+        sim = self.sim
+        state = jax.device_get(self.state)
+
+        spect_fields = {}
+        for f in dataclasses.fields(state.spect):
+            val = getattr(state.spect, f.name)
+            spect_fields[f.name] = (None if val is None
+                                    else self._unslice_spect(val))
+        spect = type(state.spect)(**spect_fields)
+
+        interp_fields = {}
+        for f in dataclasses.fields(state.interp):
+            val = getattr(state.interp, f.name)
+            interp_fields[f.name] = (None if val is None
+                                     else self._unslice_interp(val))
+        interp = type(state.interp)(**interp_fields)
+
+        zmin_g = float(np.asarray(state.zmin).ravel()[0])
+        Lz = sim.config.Nz * sim.config.dz
+        z_park = zmin_g + 0.5 * Lz
+
+        species = []
+        for sp_d, sp_t in zip(state.species, sim.state.species):
+            cap_t = sp_t.w.shape[0]
+            w_all = np.asarray(sp_d.w)
+            live = w_all != 0
+            n_live = int(live.sum())
+            if n_live > cap_t:
+                raise RuntimeError(
+                    f"Gathered particle count ({n_live}) exceeds the "
+                    f"single-chip capacity ({cap_t}); increase the "
+                    f"species capacity before distributing.")
+            updates = {}
+            for f in dataclasses.fields(sp_t):
+                arr_t = getattr(sp_t, f.name)
+                arr_d = getattr(sp_d, f.name)
+                if arr_t is None:
+                    continue
+                # (metadata-only access on arr_t: its buffer may have
+                # been deleted by the donating jit if device_put
+                # aliased it)
+                if arr_t.ndim == 0:
+                    # replicated scalars (ids counters, inj_z_end, ...)
+                    if f.name == "next_free":
+                        updates[f.name] = jnp.asarray(
+                            n_live % cap_t, arr_t.dtype)
+                    else:
+                        updates[f.name] = jnp.asarray(
+                            np.asarray(arr_d), arr_t.dtype)
+                    continue
+                out = np.zeros(cap_t, arr_t.dtype)
+                if f.name == "inv_gamma":
+                    out[:] = 1.0
+                elif f.name == "z":
+                    out[:] = z_park
+                out[:n_live] = np.asarray(arr_d)[live]
+                updates[f.name] = jnp.asarray(out)
+            species.append(dataclasses.replace(sp_t, **updates))
+
+        seed = sim.state.seed
+        if seed is not None:
+            seed = jnp.asarray(np.asarray(state.seed), seed.dtype)
+        return dataclasses.replace(
+            sim.state, spect=spect, interp=interp, species=tuple(species),
+            time=jnp.asarray(np.asarray(state.time),
+                             sim.state.time.dtype),
+            zmin=jnp.asarray(zmin_g, sim.state.zmin.dtype),
+            iteration=jnp.asarray(np.asarray(state.iteration),
+                                  jnp.int32),
+            mw_zref=jnp.asarray(np.asarray(state.mw_zref),
+                                sim.state.mw_zref.dtype),
+            seed=seed,
+            migration_overflow=None,
+        )
+
+    def sync_to_sim(self):
+        """Install the gathered global state into the underlying
+        Simulation (so its diagnostics/checkpoints/accessors see the
+        current distributed data)."""
+        self.sim.state = self.gather_state()
+        return self.sim
 
     # -- observation ------------------------------------------------------
 

@@ -246,7 +246,7 @@ def migrate_particles(sp, config_local, zmin, axis_name, buffer_size,
 
 def make_multichip_step(config_global: GridConfig, species_configs,
                         options: StepOptions, mesh: Mesh,
-                        axis_name="z", migration_buffer=4096,
+                        axis_name="z", migration_buffer=None,
                         n_guard=None):
     """Build the shard_map'd multi-device N-step function.
 
@@ -288,6 +288,26 @@ def make_multichip_step(config_global: GridConfig, species_configs,
     Nz_int = config_local.Nz - 2 * g
     dz = config_local.dz
     global_open = config_global.boundaries_z == "open"
+
+    # Particle exchange cadence: between migrations particles may stray
+    # up to exchange_period * 2*c*dt into the halo; cap it so they stay
+    # within half the guard region (reference's auto exchange_period,
+    # boundary_communicator.py:280-304).
+    from ..constants import c as _c
+    cells_per_step = 2.0 * _c * config_global.dt / dz
+    max_period = max(1, int((g / 2 - 3) / cells_per_step))
+    exchange_period = max(1, min(int(options.exchange_period),
+                                 max_period))
+    options = dataclasses.replace(options,
+                                  exchange_period=exchange_period)
+
+    if migration_buffer is None:
+        # Particles within exchange_period * 2*c*dt of a boundary can
+        # cross before the next exchange: ~2*(E+1) columns' worth
+        # (column occupancy ~ sort_K when the sorted path is active).
+        occ = max((sc.sort_K for sc in species_configs), default=0)
+        migration_buffer = max(2048,
+                               (exchange_period + 1) * max(occ, 256))
 
     # Global damping profile, padded by g zero cells at each end so a
     # rank's halo cells beyond the global box are damped to zero (they
@@ -332,6 +352,10 @@ def make_multichip_step(config_global: GridConfig, species_configs,
         def is_last(self):
             return jax.lax.axis_index(axis_name) == ndev - 1
 
+        def own_bounds(self, zmin_local):
+            return (zmin_local + g * dz,
+                    zmin_local + (config_local.Nz - g) * dz)
+
         def damp_profile(self):
             if damp_padded is None:
                 return None
@@ -349,19 +373,34 @@ def make_multichip_step(config_global: GridConfig, species_configs,
         zmin_global = state.zmin
         zmin_local = zmin_global + (idx * Nz_int - g) * dz
 
-        # 1. Particle migration across slab boundaries
-        species = []
-        n_lost = jnp.zeros((), jnp.int32)
-        for sp in state.species:
-            sp, lost = migrate_particles(sp, config_local, zmin_local,
-                                         axis_name, migration_buffer,
-                                         global_open=global_open)
-            species.append(sp)
-            n_lost = n_lost + lost
+        # 1. Particle migration across slab boundaries, every
+        #    exchange_period steps (the same cadence as removal /
+        #    injection / fresh rho_prev deposits in the base step;
+        #    reference: main.py:435-454).  The guard clamp above
+        #    guarantees strays stay inside the halo between exchanges.
+        def _migrate(species_in):
+            species = []
+            n_lost = jnp.zeros((), jnp.int32)
+            for sp in species_in:
+                sp, lost = migrate_particles(sp, config_local, zmin_local,
+                                             axis_name, migration_buffer,
+                                             global_open=global_open)
+                species.append(sp)
+                n_lost = n_lost + lost
+            return tuple(species), jax.lax.psum(n_lost, axis_name)
+
+        if exchange_period <= 1:
+            species, n_lost = _migrate(state.species)
+        else:
+            do_mig = (state.iteration % exchange_period) == 0
+            species, n_lost = jax.lax.cond(
+                do_mig, _migrate,
+                lambda s: (s, jnp.zeros((), jnp.int32)),
+                state.species)
         overflow = state.migration_overflow
         if overflow is None:
             overflow = jnp.zeros((), jnp.int32)
-        overflow = overflow + jax.lax.psum(n_lost, axis_name)
+        overflow = overflow + n_lost
         state = dataclasses.replace(state, species=tuple(species),
                                     zmin=zmin_local,
                                     migration_overflow=overflow)
@@ -390,6 +429,7 @@ def make_multichip_step(config_global: GridConfig, species_configs,
 
     def multi_step(state, aux, n_steps, inj_auxes=(), ion_auxes=(),
                    antenna_series=(), comp_auxes=()):
+        state = step_mod.ensure_counters(state)
         if state.migration_overflow is None:
             state = dataclasses.replace(
                 state, migration_overflow=jnp.zeros((), jnp.int32))

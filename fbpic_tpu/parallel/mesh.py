@@ -18,9 +18,25 @@ from ..core.state import SimState
 
 
 def make_mesh(n_devices=None, axis_name="p", devices=None):
-    """Create a 1-D device mesh."""
+    """Create a 1-D device mesh.
+
+    Asking for more devices than exist is an error -- silently
+    truncating would turn a multi-device parity test into a 1-device
+    no-op (the axon TPU plugin ignores os.environ['JAX_PLATFORMS']
+    set at runtime, so a CPU-mesh script that forgets
+    jax.config.update('jax_platforms', 'cpu') sees ONE TPU device).
+    """
     if devices is None:
-        devices = jax.devices()[: n_devices or len(jax.devices())]
+        avail = jax.devices()
+        if n_devices is not None and n_devices > len(avail):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(avail)} device(s) are available "
+                f"({[str(d) for d in avail[:2]]}...); for a virtual "
+                f"CPU mesh set XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count=N and jax.config.update("
+                f"'jax_platforms', 'cpu') before first use")
+        devices = avail[: n_devices or len(avail)]
     return Mesh(np.array(devices), (axis_name,))
 
 

@@ -64,8 +64,8 @@ from .deposit import (
 )
 
 
-def build_column_sort(z, w, zmin, invdz, Nz, K):
-    """Argsort particles by z grid column and build a padded gather plan.
+def build_column_sort(z, w, zmin, invdz, Nz, K, payload=None):
+    """Sort particles by z grid column and build the padded (Nz, K) plan.
 
     Every live particle (w != 0) enters the plan; out-of-box particles
     are clamped to the edge columns, mirroring the scatter path's
@@ -73,31 +73,86 @@ def build_column_sort(z, w, zmin, invdz, Nz, K):
     deposits reproduce the scatter deposition exactly.  Dead particles
     go to a trash bucket and never enter the plan.
 
-    Returns dict(idx=(Nz, K) int32 particle indices, valid=(Nz, K) bool).
-    Columns holding more than K live particles silently drop the excess
-    -- K must be chosen with margin (Simulation sizes it at 2x the
-    initial maximum column occupancy).
+    payload (production path): tuple of (Np,) per-particle arrays to
+    carry THROUGH the sort.  They come back already padded to (Nz, K)
+    under the key ``padded`` (list, same order) and no per-particle
+    index plan is built at all.  This is the fast path: per-index TPU
+    gathers cost ~6.6 ns/index, so the legacy plan (idx = perm[pos]
+    then data[idx]) burns ~23 ms at production size (964k particles,
+    11 channels), while carrying the payload through lax.sort and
+    slicing each column's contiguous window out of the sorted array
+    (one XLA gather of (K, C) blocks via vmapped dynamic_slice)
+    measures ~6 ms (tools/layout_trace.py).
+
+    Without payload, returns the legacy plan: idx=(Nz, K) int32
+    particle indices for _padded_arrays.
+
+    Columns holding more than K live particles drop the excess from
+    the plan; the count is returned in ``n_over`` and surfaced through
+    SimState.sort_overflow (Simulation auto-bumps K).
     """
     Np = z.shape[0]
     colf = invdz * (z - zmin)
     col = jnp.clip(jnp.floor(colf).astype(jnp.int32), 0, Nz - 1)
     key = jnp.where(w != 0, col, Nz)
-    perm = jnp.argsort(key)
-    keys_sorted = key[perm]
+    if payload is None:
+        # One lax.sort carrying the index payload: argsort + key[perm]
+        # re-gather would cost an extra serialized 964k-element gather
+        # (~6 ms at production size, measured in the r3 trace)
+        keys_sorted, perm = jax.lax.sort(
+            (key, jnp.arange(Np, dtype=jnp.int32)), num_keys=1)
+    else:
+        outs = jax.lax.sort((key,) + tuple(payload), num_keys=1)
+        keys_sorted = outs[0]
     starts = jnp.searchsorted(keys_sorted,
                               jnp.arange(Nz + 1, dtype=key.dtype))
     pos = starts[:Nz, None] + jnp.arange(K, dtype=starts.dtype)[None, :]
     valid = pos < starts[1:Nz + 1, None]
-    idx = perm[jnp.clip(pos, 0, Np - 1)]
-    return dict(idx=idx, valid=valid)
+    # In-jit overflow accounting: particles beyond a column's K slots
+    # are dropped by the dense deposits; the count is accumulated into
+    # SimState.sort_overflow and surfaced host-side after every chunk
+    counts = starts[1:Nz + 1] - starts[:Nz]
+    n_over = jnp.sum(jnp.maximum(counts - K, 0)).astype(jnp.int32)
+    if payload is None:
+        idx = perm[jnp.clip(pos, 0, Np - 1)]
+        return dict(idx=idx, valid=valid, n_over=n_over)
+    C = len(payload)
+    # Channel-major (C, Np) layout: stacking to (Np, C) would be an
+    # expensive lane interleave (~5.9 ms measured in-program); the
+    # axis-0 stack is a contiguous concatenation.  K dead pad columns
+    # keep every window slice in bounds (a clamped start would
+    # silently misalign the window against `valid`).
+    D = jnp.stack(outs[1:], axis=0)                       # (C, Np)
+    D = jnp.concatenate([D, jnp.zeros((C, K), D.dtype)], axis=1)
+    # One explicit XLA gather of (C, K) contiguous blocks.  This exact
+    # formulation matters: vmap(dynamic_slice) lowers to a serialized
+    # while loop (~7.4 ms at production size) and a row gather
+    # flat[pos] pays the ~6.6 ns/index scalar cost (~8.2 ms); the
+    # big-slice gather moves whole windows (~1.5 ms).
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(1,))
+    padded = jax.lax.gather(
+        D, starts[:Nz, None], dn, slice_sizes=(C, K),
+        mode=jax.lax.GatherScatterMode.CLIP)              # (Nz, C, K)
+    return dict(valid=valid, n_over=n_over,
+                padded=[padded[:, i, :] for i in range(C)])
 
 
 def _padded_arrays(sort, arrays):
     """Gather the (Np,) arrays into padded (Nz, K) form.
 
-    Stacked into ONE gather: the TPU gather cost is per-index with the
-    trailing channel axis riding free, so n separate gathers of the
-    same index set would cost n times as much."""
+    Production plans built with a payload return their pre-padded
+    channels (carried through the sort; see build_column_sort); the
+    caller's `arrays` must then match the payload order.  Legacy plans
+    gather through the idx plan, stacked into ONE gather: the TPU
+    gather cost is per-index with the trailing channel axis riding
+    free, so n separate gathers of the same index set would cost n
+    times as much."""
+    if "padded" in sort:
+        padded = sort["padded"]
+        assert len(arrays) <= len(padded)
+        return padded[:len(arrays)]
     idx = sort["idx"]
     stacked = jnp.stack(arrays, axis=1)[idx]        # (Nz, K, n)
     return [stacked[..., i] for i in range(len(arrays))]

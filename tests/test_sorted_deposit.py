@@ -142,6 +142,33 @@ if __name__ == "__main__":
     test_fused_step_matches_scatter_step()
 
 
+def test_payload_sort_matches_idx_plan():
+    """The production payload-through-sort plan must yield the same
+    padded (Nz, K) channels as the legacy idx plan (lax.sort is stable,
+    so ties keep particle order)."""
+    rng = np.random.RandomState(5)
+    Nz, K, Np = 32, 64, 1500
+    dz, zmin = 0.1, -1.0
+    z = zmin + rng.uniform(-0.2, Nz * dz + 0.2, Np)
+    w = rng.uniform(0.5, 1.5, Np)
+    w[rng.rand(Np) < 0.15] = 0.0
+    chans = [rng.randn(Np) for _ in range(5)]
+    zj, wj = jnp.asarray(z), jnp.asarray(w)
+    cj = [jnp.asarray(cc) for cc in chans]
+
+    legacy = sd.build_column_sort(zj, wj, zmin, 1 / dz, Nz, K)
+    pl = sd.build_column_sort(zj, wj, zmin, 1 / dz, Nz, K,
+                              payload=tuple(cj))
+    ref = sd._padded_arrays(legacy, cj)
+    new = sd._padded_arrays(pl, cj)
+    assert np.array_equal(np.asarray(legacy["valid"]),
+                          np.asarray(pl["valid"]))
+    assert int(legacy["n_over"]) == int(pl["n_over"])
+    valid = np.asarray(pl["valid"])
+    for A, B in zip(ref, new):
+        assert np.array_equal(np.asarray(A)[valid], np.asarray(B)[valid])
+
+
 def test_fused_drho_matches_difference():
     """with_drho=True must reproduce rho(x_{n+1}) - rho(x_n) (f64:
     exact up to the radial-crosser approximation, negligible at
