@@ -580,11 +580,19 @@ def remove_outside_particles(config, sp, zmin, bounds=None):
 
 
 def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
-                         zmin, key, grid_globals=None, inject_mask=None):
+                         zmin, key, grid_globals=None, inject_bounds=None):
     """Inject new plasma columns at the right edge (ring buffer write).
 
     Returns the updated species state.  Called every exchange_period
     steps; injects all columns accumulated since the last exchange.
+
+    inject_bounds: on a mesh, the half-open z interval this rank OWNS;
+    every rank generates the same candidate columns and advances the
+    replicated cursors identically, but each particle is written only
+    by the rank that owns its position (the injection plane need not
+    lie on the last rank -- the z grid's damp/guard padding can put it
+    several slabs in; reference: new particles are created by the rank
+    holding the moving-window edge, boundary_communicator.py:803-810).
     """
     from ..particles.injection import generate_columns, write_ring
 
@@ -592,10 +600,10 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     v_mw = options.moving_window_v
     # Injection plane: ahead of the physical+damp region, minus the
     # injection cells (reference: continuous_injection.py:100-128).
-    # Multi-device: computed from the GLOBAL grid geometry; only the
-    # last rank (inject_mask) actually writes particles, but every
-    # rank advances the ring cursor / injection front identically so
-    # the replicated bookkeeping stays consistent.
+    # Multi-device: computed from the GLOBAL grid geometry; the rank
+    # that OWNS each new particle's position writes it (inject_bounds),
+    # and every rank advances the ring cursor / injection front
+    # identically so the replicated bookkeeping stays consistent.
     if grid_globals is not None:
         zmin_g, Nz_g, n_guard_g, n_inject_g = grid_globals
     else:
@@ -619,46 +627,74 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     col_size = inj_aux.r.shape[0]
     slot_idx = jnp.arange(n_write)
     mask = slot_idx < n_cols * col_size
-    if inject_mask is not None:
-        mask = mask & inject_mask
+    if inject_bounds is not None:
+        lo, hi = inject_bounds
+        mask = mask & (new["z"] >= lo) & (new["z"] < hi)
 
-    updates = {}
-    for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
-        updates[name] = write_ring(getattr(sp, name), sp.next_free,
-                                   new[name], cap, mask)
+    # Columns to write: per-particle value arrays (same on every rank)
+    values = {name: new[name]
+              for name in ("x", "y", "z", "ux", "uy", "uz",
+                           "inv_gamma", "w")}
     for name in ("comp_x", "comp_y", "comp_z"):
-        arr = getattr(sp, name)
-        if arr is not None:
-            updates[name] = write_ring(arr, sp.next_free,
-                                       jnp.zeros_like(new["x"]),
-                                       cap, mask)
+        if getattr(sp, name) is not None:
+            values[name] = jnp.zeros_like(new["x"])
     if sp.ionization_level is not None:
         lvl = (sc.ionizer.level_start if sc.ionizer is not None else 0)
-        new_lvl = jnp.full(n_write, lvl, dtype=jnp.int32)
-        updates["ionization_level"] = write_ring(
-            sp.ionization_level, sp.next_free, new_lvl, cap, mask)
+        values["ionization_level"] = jnp.full(n_write, lvl,
+                                              dtype=jnp.int32)
     if sp.ids is not None:
-        n_write = new["x"].shape[0]
-        new_lo, new_hi = _two_word_ids(sp.next_id, sp.next_id_hi,
-                                       n_write)
-        updates["ids"] = write_ring(sp.ids, sp.next_free, new_lo, cap,
-                                    mask)
-        updates["ids_hi"] = write_ring(sp.ids_hi, sp.next_free, new_hi,
-                                       cap, mask)
+        # ids are per-CANDIDATE (replicated), so a particle gets the
+        # same id regardless of which rank writes it
+        values["ids"], values["ids_hi"] = _two_word_ids(
+            sp.next_id, sp.next_id_hi, n_write)
+
+    updates = {}
+    if inject_bounds is None:
+        # Single chip: ring-cursor writes
+        for name, vals in values.items():
+            updates[name] = write_ring(getattr(sp, name), sp.next_free,
+                                       vals, cap, mask)
+        # In-jit ring-overwrite accounting: count live in-range
+        # particles the write clobbers (ring full -- trapped charge
+        # that outlived a box crossing)
+        slots = jnp.mod(sp.next_free + slot_idx, cap)
+        z_lo = zmin_g + max(n_guard_g, 1) * config.dz
+        clobbered = jnp.sum(mask & (sp.w[slots] != 0)
+                            & (sp.z[slots] > z_lo)).astype(jnp.int32)
+    else:
+        # Mesh: per-rank occupancies differ, so the REPLICATED cursor
+        # would clobber live residents on whichever rank happens to be
+        # full at those slots.  Write into genuinely dead slots instead
+        # (compact + argsort-dead-first, the same scheme migration
+        # uses); injected particles beyond the dead-slot count are
+        # dropped and counted as ring overwrite.
+        pos = jnp.cumsum(mask) - 1
+        dead_order = jnp.argsort(sp.w != 0)          # dead slots first
+        n_dead = jnp.sum(sp.w == 0)
+        slots = dead_order[:n_write]
+        ok = jnp.zeros(n_write, bool).at[
+            jnp.where(mask, pos, n_write)].set(mask, mode="drop")
+        ok = ok & (jnp.arange(n_write) < n_dead)
+        clobbered = (jnp.sum(mask) - jnp.sum(ok)).astype(jnp.int32)
+        for name, vals in values.items():
+            arr = getattr(sp, name)
+            zero = jnp.zeros((), vals.dtype)
+            packed = jnp.zeros(n_write, vals.dtype).at[
+                jnp.where(mask, pos, n_write)].set(
+                jnp.where(mask, vals, zero), mode="drop")
+            updates[name] = arr.at[slots].set(
+                jnp.where(ok, packed, arr[slots]))
+
+    if sp.ids is not None:
         updates["next_id"], updates["next_id_hi"] = _advance_id(
             sp.next_id, sp.next_id_hi,
             (n_cols * col_size).astype(jnp.uint32))
+    # The cursor advances identically on every rank (replicated
+    # bookkeeping; on the mesh it is only consumed by the elementary-
+    # process appends)
     updates["next_free"] = jnp.mod(
         sp.next_free + n_cols * col_size, cap).astype(sp.next_free.dtype)
     updates["inj_z_end"] = new_z_end
-
-    # In-jit ring-overwrite accounting: count live in-range particles
-    # the write clobbers (ring full -- trapped charge that outlived a
-    # box crossing).  Surfaced host-side after every chunk.
-    slots = jnp.mod(sp.next_free + slot_idx, cap)
-    z_lo = zmin_g + max(n_guard_g, 1) * config.dz
-    clobbered = jnp.sum(mask & (sp.w[slots] != 0)
-                        & (sp.z[slots] > z_lo)).astype(jnp.int32)
     return dataclasses.replace(sp, **updates), clobbered
 
 
@@ -722,13 +758,13 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                             continue
                         gg = (halo.grid_globals(zmin_g)
                               if halo is not None else None)
-                        imask = (halo.is_last()
-                                 if halo is not None else None)
+                        ibounds = (halo.ownership_bounds(zmin)
+                                   if halo is not None else None)
                         species[i], clob = continuous_injection(
                             config, options, aux, sp, sc, inj_cfg,
                             inj_auxes[i], zmin,
                             _stream_key(state, _STREAM_INJECT, i),
-                            grid_globals=gg, inject_mask=imask)
+                            grid_globals=gg, inject_bounds=ibounds)
                         if halo is not None:
                             clob = jax.lax.psum(clob, halo.axis_name)
                         n_clob = n_clob + clob

@@ -356,6 +356,23 @@ def make_multichip_step(config_global: GridConfig, species_configs,
             return (zmin_local + g * dz,
                     zmin_local + (config_local.Nz - g) * dz)
 
+        def ownership_bounds(self, zmin_local):
+            """Half-open z interval of particles THIS rank owns, with
+            the global edges opened to +-inf (slabs tile the global
+            box, so every position belongs to exactly one rank).  Used
+            to route injected particles to the rank that owns their
+            position: the injection plane generally does NOT lie on
+            the last rank (the z grid carries damp/guard padding, so
+            the last slab may hold only padding), and writing new
+            particles on a non-owning rank leaves their deposits
+            clamped into wrong guard rows until the next migration."""
+            idx = jax.lax.axis_index(axis_name)
+            lo, hi = self.own_bounds(zmin_local)
+            inf = jnp.asarray(np.inf, lo.dtype)
+            lo = jnp.where(idx == 0, -inf, lo)
+            hi = jnp.where(idx == ndev - 1, inf, hi)
+            return lo, hi
+
         def damp_profile(self):
             if damp_padded is None:
                 return None

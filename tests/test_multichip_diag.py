@@ -160,12 +160,6 @@ def test_multichip_antenna_parity():
     assert err < 1e-2
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="moving window + exchange_period>1 on a real mesh leaves a "
-           "localized artifact at the injection front (multi-vs-single "
-           "dev ~3; single-chip ep=4 is parity-exact) -- under "
-           "investigation")
 def test_multichip_exchange_period():
     """Parity with exchange_period > 1: migration / removal / injection
     / fresh rho_prev deposits every 4 steps on both sides."""
