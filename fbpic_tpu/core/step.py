@@ -511,13 +511,20 @@ def _append_new_particles(esp, new, axis_name=None):
     axis_name: on a z-decomposed mesh the scalar ring cursor and id
     counters are REPLICATED (state_specs declares them P()), so every
     rank must advance them identically even though creation counts
-    differ per rank.  Each rank writes its block at the cursor plus an
-    exclusive prescan of the per-rank counts, and all ranks advance by
-    the global total -- the analog of the reference's rank-partitioned
-    id blocks (tracking/tracking.py:66)."""
+    differ per rank.  Ids come from the cursor plus an exclusive
+    prescan of the per-rank counts, and all ranks advance by the
+    global total -- the analog of the reference's rank-partitioned id
+    blocks (tracking/tracking.py:66).  The WRITES go into this rank's
+    genuinely dead slots (per-rank occupancies differ, so the
+    replicated cursor position may be live here); single-chip keeps
+    the cheap ring-cursor write.
+
+    Returns (esp, n_dropped): creations dropped because the ring was
+    full (counted into SimState.ring_overwrite by the caller)."""
     from ..particles.injection import write_ring
     mask = new["w"] != 0
     n_new = jnp.sum(mask.astype(jnp.int32))
+    nb = new["x"].shape[0]
     if axis_name is None:
         off = jnp.zeros((), jnp.int32)
         total = n_new
@@ -527,30 +534,44 @@ def _append_new_particles(esp, new, axis_name=None):
         rank_before = jnp.arange(counts.shape[0]) < me
         off = jnp.sum(jnp.where(rank_before, counts, 0)).astype(jnp.int32)
         total = jnp.sum(counts).astype(jnp.int32)
-    start = jnp.mod(esp.next_free + off, esp.capacity).astype(jnp.int32)
-    updates = {}
-    for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
-        updates[name] = write_ring(getattr(esp, name), start,
-                                   new[name], esp.capacity, mask)
+
+    values = {name: new[name]
+              for name in ("x", "y", "z", "ux", "uy", "uz",
+                           "inv_gamma", "w")}
     for name in ("comp_x", "comp_y", "comp_z"):
-        arr = getattr(esp, name)
-        if arr is not None:
-            updates[name] = write_ring(arr, start,
-                                       jnp.zeros_like(new["x"]),
-                                       esp.capacity, mask)
+        if getattr(esp, name) is not None:
+            values[name] = jnp.zeros_like(new["x"])
     if esp.ids is not None:
-        nb = new["x"].shape[0]
         base_lo, base_hi = _advance_id(esp.next_id, esp.next_id_hi, off)
-        new_lo, new_hi = _two_word_ids(base_lo, base_hi, nb)
-        updates["ids"] = write_ring(esp.ids, start, new_lo,
-                                    esp.capacity, mask)
-        updates["ids_hi"] = write_ring(esp.ids_hi, start,
-                                       new_hi, esp.capacity, mask)
+        values["ids"], values["ids_hi"] = _two_word_ids(
+            base_lo, base_hi, nb)
+
+    updates = {}
+    if axis_name is None:
+        for name, vals in values.items():
+            updates[name] = write_ring(getattr(esp, name), esp.next_free,
+                                       vals, esp.capacity, mask)
+        dropped = jnp.zeros((), jnp.int32)
+    else:
+        # Dead-slot writes (same scheme as migration / mesh injection).
+        # `new` is front-packed (creation buffers are), so slot i of
+        # the buffer maps to dead slot i directly.
+        dead_order = jnp.argsort(esp.w != 0)         # dead slots first
+        n_dead = jnp.sum(esp.w == 0)
+        slots = dead_order[:nb]
+        ok = mask & (jnp.arange(nb) < n_dead)
+        dropped = (n_new - jnp.sum(ok)).astype(jnp.int32)
+        for name, vals in values.items():
+            arr = getattr(esp, name)
+            updates[name] = arr.at[slots].set(
+                jnp.where(ok, vals, arr[slots]))
+        dropped = jax.lax.psum(dropped, axis_name)
+    if esp.ids is not None:
         updates["next_id"], updates["next_id_hi"] = _advance_id(
             esp.next_id, esp.next_id_hi, total)
     updates["next_free"] = jnp.mod(
         esp.next_free + total, esp.capacity).astype(jnp.int32)
-    return dataclasses.replace(esp, **updates)
+    return dataclasses.replace(esp, **updates), dropped
 
 
 def remove_outside_particles(config, sp, zmin, bounds=None):
@@ -811,8 +832,9 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 state.time + 0.5 * dt, key)
             species[i] = sp_new
             tgt = sc.compton.target_index
-            species[tgt] = _append_new_particles(species[tgt], new_ph,
-                                                 axis_name=ax)
+            species[tgt], dropped = _append_new_particles(
+                species[tgt], new_ph, axis_name=ax)
+            ring_overwrite = ring_overwrite + dropped
 
         # --- Elementary processes at t = (n+1/2) dt: ADK ionization
         # (reference: main.py:499-503)
@@ -831,12 +853,14 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 for off, tgt in enumerate(sc.ionizer.per_level_targets):
                     lvl = sc.ionizer.level_start + off
                     sub = select_level_electrons(new_elec, lvl)
-                    species[tgt] = _append_new_particles(
+                    species[tgt], dropped = _append_new_particles(
                         species[tgt], sub, axis_name=ax)
+                    ring_overwrite = ring_overwrite + dropped
             else:
                 tgt = sc.ionizer.target_index
-                species[tgt] = _append_new_particles(
+                species[tgt], dropped = _append_new_particles(
                     species[tgt], new_elec, axis_name=ax)
+                ring_overwrite = ring_overwrite + dropped
 
         # --- Column sort for the dense (MXU) deposition path: built
         # once per step after all particle creation, reused by the J
