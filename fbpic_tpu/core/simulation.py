@@ -506,11 +506,19 @@ class Simulation:
                 injector_aux = build_injector_aux(
                     Npr, p_rmin_, p_rmax_, p_nt, injector_cfg,
                     rng=self._rng)
-                # Ring buffer must hold a whole box worth of plasma
-                cols_in_box = int(np.ceil(
-                    self.config.Nz * self.config.dz / dz_particles))
+                # Ring buffer must hold a whole box worth of plasma.
+                # Particles only ever live inside the removal bounds
+                # (remove_outside_particles strips beyond n_guard from
+                # either edge every exchange), so size from that span,
+                # not the full padded grid: every per-particle op
+                # (sort, gathers, pushes) scales with capacity, and the
+                # guard/damp padding is ~30% of Nz on production boxes.
+                margin = 2 * max(self.config.n_guard, 1)
+                cols_live = int(np.ceil(
+                    (self.config.Nz - margin) * self.config.dz
+                    / dz_particles))
                 col_size = Npr * p_nt
-                needed = int(1.2 * cols_in_box * col_size)
+                needed = int(1.2 * cols_live * col_size)
                 capacity = max(capacity or 0, needed,
                                int(1.2 * max(Ntot, 1)))
         else:
@@ -940,8 +948,12 @@ class Simulation:
                 "in add_new_species to keep them.", RuntimeWarning)
         if (n_sort is not None and int(n_sort) > 0) or (
                 n_ring is not None and int(n_ring) > 0):
-            zero = jnp.zeros((), jnp.int32)
+            # DISTINCT zero buffers: aliasing one array into two state
+            # leaves makes the next donating jit call fail with
+            # "Attempt to donate the same buffer twice"
             self.state = dataclasses.replace(
                 self.state,
-                sort_overflow=(None if n_sort is None else zero),
-                ring_overwrite=(None if n_ring is None else zero))
+                sort_overflow=(None if n_sort is None
+                               else jnp.zeros((), jnp.int32)),
+                ring_overwrite=(None if n_ring is None
+                                else jnp.zeros((), jnp.int32)))

@@ -4,12 +4,18 @@ the boundary between the two -- mirror of the reference's
 tests/test_continuous_injection.py.
 """
 import numpy as np
+import pytest
 
 from fbpic_tpu import Simulation
 from fbpic_tpu.constants import c
 
 
-def test_injection_seamless():
+@pytest.mark.parametrize("fused", [False, True])
+def test_injection_seamless(fused):
+    """fused=True additionally exercises the production TPU deposition
+    (sorted-dense fused J+rho, payload-through-sort) in the f64
+    open-z + moving-window + injection configuration that production
+    runs use -- CPU tests otherwise keep the scatter path."""
     Nz, Nr, Nm = 200, 40, 2
     zmax, zmin, rmax = 10.e-6, 0.e-6, 30.e-6
     dt = (zmax - zmin) / Nz / c
@@ -19,6 +25,11 @@ def test_injection_seamless():
                      zmin=zmin, n_order=16,
                      boundaries={"z": "open", "r": "reflective"},
                      random_seed=0, verbose_level=0)
+    if fused:
+        import dataclasses
+        sim.species_configs[0] = dataclasses.replace(
+            sim.species_configs[0], sort_K=768)
+    sim.use_fused_deposit = fused
     sim.set_moving_window(v=c)
     sim.step(1, show_progress=False)
     rho0 = np.asarray(sim.get_interp_field("rho", 0).real)
