@@ -219,17 +219,9 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
 
     comoving = config.use_comoving
 
-    from .transform import dft_matrices, split_dft_matrices
+    from .transform import dft_matrices, dft_factorization_arrays
     Wf, Wi = dft_matrices(Nz)
-    split = split_dft_matrices(Nz)
-    split_mats = {}
-    if split is not None:
-        split_mats = dict(
-            WfM_re=dev_r(split["WfM"].real), WfM_im=dev_r(split["WfM"].imag),
-            twf_re=dev_r(split["twf"].real), twf_im=dev_r(split["twf"].imag),
-            WiM_re=dev_r(split["WiM"].real), WiM_im=dev_r(split["WiM"].imag),
-            twi_re=dev_r(split["twi"].real), twi_im=dev_r(split["twi"].imag),
-        )
+    split_mats = dft_factorization_arrays(Nz, dev_r)
 
     return FieldAux(
         mats=TransformMatrices(

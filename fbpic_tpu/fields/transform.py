@@ -62,6 +62,56 @@ def _pick_radix(Nz):
     return 1
 
 
+def _pick_balanced_factors(Nz, min_factor=64):
+    """Balanced factorization Nz = N1 * N2 with both factors >=
+    min_factor and as close to sqrt(Nz) as possible (N1 >= N2).
+    Returns None when Nz has no such factorization."""
+    best = None
+    for N2 in range(int(np.sqrt(Nz)), min_factor - 1, -1):
+        if Nz % N2 == 0:
+            N1 = Nz // N2
+            best = (N1, N2)
+            break
+    return best
+
+
+def fourstep_dft_matrices(Nz, min_factor=64):
+    """Bailey four-step factorization of the length-Nz DFT.
+
+    With Nz = N1 * N2, n = n1 + N1 n2, k = k2 + N2 k1:
+
+        X[k2 + N2 k1] = sum_{n1} W1[k1, n1] * tw[n1, k2]
+                        * sum_{n2} W2[k2, n2] x[n1 + N1 n2]
+
+    i.e. two dense batched matmul stages -- (N2, N2) then (N1, N1) --
+    plus an elementwise twiddle in between: O(Nz (N1 + N2)) MXU flops
+    instead of O(Nz^2), a ~sqrt(Nz)/2-fold saving that (unlike the
+    one-level decimation split, which tiles the sub-spectra R-fold)
+    needs no intermediate larger than the field itself.  This is the
+    large-Nz (boosted-frame production box) path; the reference uses
+    cuFFT/MKL (/root/reference/fbpic/fields/spectral_transform/
+    fourier.py:27-101) for the same reason.
+
+    Returns None when no balanced factorization with both factors >=
+    min_factor exists (e.g. prime Nz), else a dict of the forward and
+    (1/Nz-normalized) inverse stage matrices and twiddles.
+    """
+    fac = _pick_balanced_factors(Nz, min_factor)
+    if fac is None:
+        return None
+    N1, N2 = fac
+    a1 = np.arange(N1)
+    a2 = np.arange(N2)
+    W1 = np.exp(-2j * np.pi * np.outer(a1, a1) / N1)     # (k1, n1)
+    W2 = np.exp(-2j * np.pi * np.outer(a2, a2) / N2)     # (k2, n2)
+    tw = np.exp(-2j * np.pi * np.outer(a1, a2) / Nz)     # (n1, k2)
+    return dict(
+        N1=N1, N2=N2,
+        W1f=W1, W2f=W2, twf=tw,
+        W1i=np.conj(W1), W2i=np.conj(W2), twi=np.conj(tw) / Nz,
+    )
+
+
 def split_dft_matrices(Nz):
     """One-level Cooley-Tukey factorization of the length-Nz DFT.
 
@@ -119,6 +169,21 @@ class TransformMatrices:
     WiM_im: jax.Array = None
     twi_re: jax.Array = None
     twi_im: jax.Array = None
+    # Optional four-step (Bailey) factorization, preferred at large Nz
+    # (boosted-frame boxes): (N1, N1) + (N2, N2) stage matrices and
+    # (N1, N2) twiddles, see fourstep_dft_matrices
+    W1f_re: jax.Array = None
+    W1f_im: jax.Array = None
+    W2f_re: jax.Array = None
+    W2f_im: jax.Array = None
+    tw4f_re: jax.Array = None
+    tw4f_im: jax.Array = None
+    W1i_re: jax.Array = None
+    W1i_im: jax.Array = None
+    W2i_re: jax.Array = None
+    W2i_im: jax.Array = None
+    tw4i_re: jax.Array = None
+    tw4i_im: jax.Array = None
 
     @staticmethod
     def build(Nm: int, Nr: int, Nz: int, rmax: float,
@@ -127,15 +192,7 @@ class TransformMatrices:
         Wf, Wi = dft_matrices(Nz)
         dtype = dtype or real_dtype()
         dev = lambda v: jnp.asarray(v, dtype=dtype)
-        split = split_dft_matrices(Nz)
-        extra = {}
-        if split is not None:
-            extra = dict(
-                WfM_re=dev(split["WfM"].real), WfM_im=dev(split["WfM"].imag),
-                twf_re=dev(split["twf"].real), twf_im=dev(split["twf"].imag),
-                WiM_re=dev(split["WiM"].real), WiM_im=dev(split["WiM"].imag),
-                twi_re=dev(split["twi"].real), twi_im=dev(split["twi"].imag),
-            )
+        extra = dft_factorization_arrays(Nz, dev)
         return TransformMatrices(
             M0=dev(mats["M0"]), invM0=dev(mats["invM0"]),
             Mp=dev(mats["Mp"]), invMp=dev(mats["invMp"]),
@@ -145,6 +202,51 @@ class TransformMatrices:
             Wi_re=dev(Wi.real), Wi_im=dev(Wi.imag),
             **extra,
         )
+
+
+#: Nz at or above which the four-step factorization is preferred over
+#: the one-level radix split.  Both stage factors must also be >= 64
+#: to keep the MXU tiles usefully filled, so in practice the four-step
+#: engages at Nz >= 4096 (boosted-frame boxes) and the radix split
+#: covers the mid sizes.
+FOURSTEP_MIN_NZ = int(os.environ.get("FBPIC_TPU_FOURSTEP_MIN_NZ", "1024"))
+
+
+def dft_factorization_arrays(Nz, dev):
+    """The optional-factorization fields of TransformMatrices.
+
+    Policy: four-step (O(Nz^1.5) flops, no tiling blowup) whenever
+    Nz >= FOURSTEP_MIN_NZ and a balanced factorization with both
+    factors >= 64 exists; else the one-level radix split (R-fold flop
+    cut); else nothing (dense DFT).  `dev` converts numpy -> device
+    array at the working dtype.
+    """
+    if Nz >= FOURSTEP_MIN_NZ:
+        # Prefer both factors >= 64 (full MXU tiles); when Nz has no
+        # such factorization (e.g. 4500 = 75 x 60) accept a smaller
+        # factor down to 32 -- the ~sqrt(Nz)-fold flop cut dwarfs the
+        # half-filled tile of one stage
+        fs = fourstep_dft_matrices(Nz)
+        if fs is None and Nz >= 4 * FOURSTEP_MIN_NZ:
+            fs = fourstep_dft_matrices(Nz, min_factor=32)
+        if fs is not None:
+            return dict(
+                W1f_re=dev(fs["W1f"].real), W1f_im=dev(fs["W1f"].imag),
+                W2f_re=dev(fs["W2f"].real), W2f_im=dev(fs["W2f"].imag),
+                tw4f_re=dev(fs["twf"].real), tw4f_im=dev(fs["twf"].imag),
+                W1i_re=dev(fs["W1i"].real), W1i_im=dev(fs["W1i"].imag),
+                W2i_re=dev(fs["W2i"].real), W2i_im=dev(fs["W2i"].imag),
+                tw4i_re=dev(fs["twi"].real), tw4i_im=dev(fs["twi"].imag),
+            )
+    split = split_dft_matrices(Nz)
+    if split is not None:
+        return dict(
+            WfM_re=dev(split["WfM"].real), WfM_im=dev(split["WfM"].imag),
+            twf_re=dev(split["twf"].real), twf_im=dev(split["twf"].imag),
+            WiM_re=dev(split["WiM"].real), WiM_im=dev(split["WiM"].imag),
+            twi_re=dev(split["twi"].real), twi_im=dev(split["twi"].imag),
+        )
+    return {}
 
 
 def dht(M: jax.Array, F: CArr) -> CArr:
@@ -208,8 +310,85 @@ def _zmatmul_split_many(WM_re, WM_im, tw_re, tw_im, fields):
     return out
 
 
+def _combine_packed(A, B, Nr):
+    """Complex combine of packed-channel real matmul outputs.
+
+    The trailing axis of A = W_re @ Q and B = W_im @ Q holds
+    [f0.re, f0.im, f1.re, f1.im, ...] blocks of width Nr; returns the
+    same packing of (W_re + i W_im)(re + i im)."""
+    sh = A.shape[:-1]
+    A5 = A.reshape(*sh, -1, 2, Nr)
+    B5 = B.reshape(*sh, -1, 2, Nr)
+    Yre = A5[..., 0, :] - B5[..., 1, :]
+    Yim = A5[..., 1, :] + B5[..., 0, :]
+    return jnp.stack([Yre, Yim], axis=-2).reshape(*sh, A.shape[-1])
+
+
+def _twiddle_packed(Y, twre, twim, Nr):
+    """Elementwise complex multiply of packed (Nm, N1, N2, q) channels
+    by the (N1, N2) twiddle factors."""
+    sh = Y.shape
+    Y5 = Y.reshape(*sh[:-1], -1, 2, Nr)
+    yre, yim = Y5[..., 0, :], Y5[..., 1, :]
+    tre = twre[None, :, :, None, None]
+    tim = twim[None, :, :, None, None]
+    out = jnp.stack([tre * yre - tim * yim, tre * yim + tim * yre],
+                    axis=-2)
+    return out.reshape(sh)
+
+
+def _zmatmul_fourstep_many(mats: TransformMatrices, fields, forward):
+    """Four-step (Bailey) z-transform of a list of CArr (Nm, Nz, Nr).
+
+    Two dense batched matmul stages with an elementwise twiddle in
+    between (see fourstep_dft_matrices); every intermediate has the
+    size of the stacked fields themselves.
+    """
+    Nm, Nz, Nr = fields[0].shape
+    if forward:
+        W1re, W1im = mats.W1f_re, mats.W1f_im
+        W2re, W2im = mats.W2f_re, mats.W2f_im
+        twre, twim = mats.tw4f_re, mats.tw4f_im
+    else:
+        W1re, W1im = mats.W1i_re, mats.W1i_im
+        W2re, W2im = mats.W2i_re, mats.W2i_im
+        twre, twim = mats.tw4i_re, mats.tw4i_im
+    N1, N2 = W1re.shape[0], W2re.shape[0]
+    pe = W1re.dtype
+    Q = jnp.concatenate([x for F in fields for x in (F.re, F.im)], axis=-1)
+    q = Q.shape[-1]
+    ein = lambda spec, W, X: jnp.einsum(spec, W, X,
+                                        preferred_element_type=pe,
+                                        precision=_PRECISION)
+    if forward:
+        # x indexed n = n1 + N1 n2 -> axes (n2, n1); out k = k2 + N2 k1
+        X4 = Q.reshape(Nm, N2, N1, q)
+        Y = _combine_packed(ein("kv,mvnq->mnkq", W2re, X4),
+                            ein("kv,mvnq->mnkq", W2im, X4), Nr)
+        T = _twiddle_packed(Y, twre, twim, Nr)          # (Nm, n1, k2, q)
+        Z = _combine_packed(ein("un,mnkq->mukq", W1re, T),
+                            ein("un,mnkq->mukq", W1im, T), Nr)
+    else:
+        # X indexed k = k2 + N2 k1 -> axes (k1, k2); out n = n1 + N1 n2
+        X4 = Q.reshape(Nm, N1, N2, q)
+        P = _combine_packed(ein("nu,mukq->mnkq", W1re, X4),
+                            ein("nu,mukq->mnkq", W1im, X4), Nr)
+        T = _twiddle_packed(P, twre, twim, Nr)          # (Nm, n1, k2, q)
+        Z = _combine_packed(ein("vk,mnkq->mvnq", W2re, T),
+                            ein("vk,mnkq->mvnq", W2im, T), Nr)
+    Z = Z.reshape(Nm, Nz, q)
+    out = []
+    for i in range(len(fields)):
+        re_sl = slice((2 * i) * Nr, (2 * i + 1) * Nr)
+        im_sl = slice((2 * i + 1) * Nr, (2 * i + 2) * Nr)
+        out.append(CArr(Z[..., re_sl], Z[..., im_sl]))
+    return out
+
+
 def fft_z(mats: TransformMatrices, F: CArr) -> CArr:
     """Forward DFT along z (axis -2), unnormalized (numpy convention)."""
+    if mats.W1f_re is not None:
+        return _zmatmul_fourstep_many(mats, [F], forward=True)[0]
     if mats.WfM_re is not None:
         return _zmatmul_split_many(mats.WfM_re, mats.WfM_im,
                                    mats.twf_re, mats.twf_im, [F])[0]
@@ -218,6 +397,8 @@ def fft_z(mats: TransformMatrices, F: CArr) -> CArr:
 
 def ifft_z(mats: TransformMatrices, F: CArr) -> CArr:
     """Inverse DFT along z (axis -2), 1/Nz normalized."""
+    if mats.W1i_re is not None:
+        return _zmatmul_fourstep_many(mats, [F], forward=False)[0]
     if mats.WiM_re is not None:
         return _zmatmul_split_many(mats.WiM_re, mats.WiM_im,
                                    mats.twi_re, mats.twi_im, [F])[0]
@@ -303,6 +484,8 @@ def _zmatmul_many(Wre, Wim, fields):
 
 
 def fft_z_many(mats: TransformMatrices, fields):
+    if mats.W1f_re is not None:
+        return _zmatmul_fourstep_many(mats, fields, forward=True)
     if mats.WfM_re is not None:
         return _zmatmul_split_many(mats.WfM_re, mats.WfM_im,
                                    mats.twf_re, mats.twf_im, fields)
@@ -310,6 +493,8 @@ def fft_z_many(mats: TransformMatrices, fields):
 
 
 def ifft_z_many(mats: TransformMatrices, fields):
+    if mats.W1i_re is not None:
+        return _zmatmul_fourstep_many(mats, fields, forward=False)
     if mats.WiM_re is not None:
         return _zmatmul_split_many(mats.WiM_re, mats.WiM_im,
                                    mats.twi_re, mats.twi_im, fields)

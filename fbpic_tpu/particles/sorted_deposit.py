@@ -60,7 +60,7 @@ from ..utils.complex_arr import CArr
 from .gather import _cylindrical_projection
 from .deposit import (
     NGUARD, _mode_phases, _channel_meta, _pack_channels, _unpack_channels,
-    _fold_guard_cells,
+    _fold_guard_cells, _cubic_axis_weights,
 )
 
 
@@ -617,3 +617,297 @@ def _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta, ruyten, Nz, Nr,
     S = jax.nn.one_hot(span["ir_buf"], Nrb, dtype=ph_a.dtype)
     out = _contract(S, V)
     return _reassemble(out, Nz, Nr, zfold, -2, 1, C)
+
+
+# ---------------------------------------------------------------------
+# Cubic (third-order) shapes on the sorted-dense path
+#
+# Same design as the linear path -- one column sort, padded channel
+# matrices, one-hot radial contraction on the MXU -- with a 4x4
+# footprint: 4 radial corner planes ride as extra channel blocks
+# (reassembled by radial shifts) and the z direction uses 4-point
+# per-offset weight blocks.  Replaces the 16-point serialized scatter
+# (reference fast path: /root/reference/fbpic/particles/deposition/
+# cuda_methods.py:466-1063).
+# ---------------------------------------------------------------------
+
+def _padded_geometry_cubic(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
+                           Nr, ruyten_cubic, zfold, delta_lo, delta_hi,
+                           comp=None):
+    """Cubic-shape geometry on the padded (Nz, K) layout.
+
+    Mirrors deposit._geometry_cubic (same Ruyten rows on the two
+    central radial points, per-corner below-axis flags, straggler
+    clipping) but returns the z contribution as per-offset weight
+    blocks zw[o] relative to the sort column.
+    """
+    r, cos, sin = _cylindrical_projection(x, y)
+    rdt = x.dtype
+
+    r_cell = invdr * (r - rmin) - 0.5
+    z_cell = invdz * (z - zmin) - 0.5
+    ez = er = None
+    if comp is not None:
+        cx, cy, cz = comp
+        ez = invdz * cz
+        er = invdr * ((x * cx + y * cy) / jnp.maximum(r, 1e-30))
+
+    iz_low, uz_, sz = _cubic_axis_weights(z_cell, extra=ez)
+    ir_low, u, sr_plain = _cubic_axis_weights(r_cell, extra=er)
+
+    ok = sort["valid"].astype(rdt)
+    sz = tuple(s * ok for s in sz)
+
+    # Offset of the cubic footprint base from the sort column (see
+    # _padded_geometry for the straggler-clipping rationale)
+    col = jnp.arange(Nz, dtype=jnp.int32)[:, None]
+    if zfold == "clamp":
+        delta = jnp.clip(iz_low, -NGUARD, Nz) - col
+        delta = jnp.clip(delta, delta_lo, delta_hi)
+    else:
+        delta = jnp.mod(iz_low - col - delta_lo, Nz) + delta_lo
+    # Corner j of the 4-point footprint lands at offset delta + j
+    zw = [sum(sz[j] * (delta == o - j) for j in range(4))
+          for o in range(delta_lo, delta_hi + 4)]
+
+    # Ruyten correction on the two central radial points
+    bn_idx = jnp.clip(jnp.ceil(r_cell).astype(jnp.int32), 0, Nr)
+    corr = (1.0 - u) * u
+    bn0 = ruyten_cubic[0][bn_idx] * corr
+    bnh = ruyten_cubic[1][bn_idx] * corr
+    sr_m0 = (sr_plain[0], sr_plain[1] + bn0, sr_plain[2] - bn0,
+             sr_plain[3])
+    sr_mh = (sr_plain[0], sr_plain[1] + bnh, sr_plain[2] - bnh,
+             sr_plain[3])
+
+    below = [(ir_low + j) < 0 for j in range(4)]
+    ir_buf = jnp.minimum(ir_low + NGUARD, Nr)
+
+    return dict(cos=cos, sin=sin, below=below,
+                zw=zw, sr_m0=sr_m0, sr_mh=sr_mh, ir_buf=ir_buf,
+                ir_low=ir_low, u=u, bn_idx=bn_idx,
+                s_sub=uz_ if ez is None else uz_ + ez,
+                delta=delta, ok=ok)
+
+
+def _corner_weights_cubic(geom, meta, sr_m0=None, sr_mh=None,
+                          below=None):
+    """Per-corner (Nz, K, C) radial weights with mode-row select and
+    below-axis channel flips."""
+    mode0_mask = meta["is_mode0"]
+    flips = meta["flip"]
+    sr_m0 = geom["sr_m0"] if sr_m0 is None else sr_m0
+    sr_mh = geom["sr_mh"] if sr_mh is None else sr_mh
+    below = geom["below"] if below is None else below
+    out = []
+    for j in range(4):
+        sr = jnp.where(mode0_mask[None, None, :],
+                       sr_m0[j][:, :, None], sr_mh[j][:, :, None])
+        sr = jnp.where(below[j][:, :, None],
+                       flips[None, None, :] * sr, sr)
+        out.append(sr)
+    return out
+
+
+def _build_V_cubic(geom, channel_vals, meta):
+    """The wide channel matrix (Nz, K, n_off*4*C) of one cubic deposit."""
+    srj = _corner_weights_cubic(geom, meta)
+    blocks = []
+    for zw in geom["zw"]:
+        zwv = channel_vals * zw[:, :, None]
+        for j in range(4):
+            blocks.append(zwv * srj[j])
+    return jnp.concatenate(blocks, axis=2)
+
+
+def _reassemble_cubic(out, Nz, Nr, zfold, delta_lo, delta_hi, C):
+    """Shifted adds of the (Nz, Nrb, n_off*4*C) cubic contraction
+    output into the folded (Nz, Nr, C) grid."""
+    Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
+    n_off = delta_hi + 4 - delta_lo
+    rdt = out.dtype
+    out = out.reshape(Nz, Nrb, n_off, 4, C)
+    buf = jnp.zeros((Nzb, Nrb, C), dtype=rdt)
+    for i, o in enumerate(range(delta_lo, delta_hi + 4)):
+        lo = o + NGUARD
+        plane = out[:, :, i, 0, :]
+        for j in range(1, 4):
+            plane = plane.at[:, j:, :].add(out[:, :-j, i, j, :])
+        if lo < 0:
+            buf = buf.at[:lo + Nz].add(plane[-lo:])
+        elif lo + Nz <= Nzb:
+            buf = buf.at[lo:lo + Nz].add(plane)
+        else:
+            buf = buf.at[lo:].add(plane[:Nzb - lo])
+    return _fold_guard_cells(buf, Nz, Nr, zfold)
+
+
+def deposit_rho_J_sorted_cubic(sort, x, y, z, w, q, ux, uy, uz,
+                               inv_gamma, dt_half, Nm, invdz, zmin, Nz,
+                               invdr, rmin, Nr, ruyten_cubic,
+                               zfold="periodic", comp=None,
+                               with_drho=False, with_rho=True):
+    """Cubic counterpart of deposit_rho_J_sorted: fused J (current
+    positions) + rho (half-pushed) + optional telescoped drho from one
+    padded gather and MXU one-hot contractions.
+
+    Channel count scales as n_off * 4 corners * C, so the padded V is
+    ~4x the linear one -- still dense MXU work instead of the 16-point
+    serialized scatter it replaces.
+    """
+    if comp is not None:
+        (x, y, z, w, ux, uy, uz, inv_gamma,
+         cx, cy, cz) = _padded_arrays(
+            sort, [x, y, z, w, ux, uy, uz, inv_gamma] + list(comp))
+        comp = (cx, cy, cz)
+    else:
+        x, y, z, w, ux, uy, uz, inv_gamma = _padded_arrays(
+            sort, [x, y, z, w, ux, uy, uz, inv_gamma])
+
+    # --- J at the current (n+1/2) positions: footprint base offsets
+    # are {-2, -1} when the sort is built at these positions
+    geom = _padded_geometry_cubic(sort, x, y, z, invdz, zmin, Nz, invdr,
+                                  rmin, Nr, ruyten_cubic, zfold,
+                                  delta_lo=-2, delta_hi=-1, comp=comp)
+    cos, sin = geom["cos"], geom["sin"]
+    cos_m, sin_m = _mode_phases(cos, sin, Nm)
+    wj = q * w
+    jr0 = wj * c * inv_gamma * (cos * ux + sin * uy)
+    jt0 = wj * c * inv_gamma * (cos * uy - sin * ux)
+    jz0 = wj * c * inv_gamma * uz
+    vals = [CArr(jnp.stack([j0 * cm for cm in cos_m]),
+                 jnp.stack([j0 * sm for sm in sin_m]))
+            for j0 in (jr0, jt0, jz0)]
+    channels = _pack_padded(vals, Nm)
+    meta = _channel_meta(Nm, 3, [-1.0, -1.0, +1.0], x.dtype)
+    if not with_drho:
+        out = _dense_deposit_cubic(geom, channels, meta, Nz, Nr, zfold,
+                                   delta_lo=-2, delta_hi=-1)
+        Jr, Jt, Jz = _unpack_channels(out, 3, Nm)
+
+    # --- rho at the half-pushed (n+1) positions (base offsets {-3..-1})
+    chdt = c * dt_half
+    rho = None
+    if with_rho:
+        x2 = x + chdt * inv_gamma * ux
+        y2 = y + chdt * inv_gamma * uy
+        z2 = z + chdt * inv_gamma * uz
+        geom2 = _padded_geometry_cubic(sort, x2, y2, z2, invdz, zmin,
+                                       Nz, invdr, rmin, Nr, ruyten_cubic,
+                                       zfold, delta_lo=-3, delta_hi=-1,
+                                       comp=comp)
+        cos_m2, sin_m2 = _mode_phases(geom2["cos"], geom2["sin"], Nm)
+        rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m2]),
+                         jnp.stack([wj * sm for sm in sin_m2]))
+        channels2 = _pack_padded([rho_modes], Nm)
+        meta2 = _channel_meta(Nm, 1, [+1.0], x.dtype)
+        out2 = _dense_deposit_cubic(geom2, channels2, meta2, Nz, Nr,
+                                    zfold, delta_lo=-3, delta_hi=-1)
+        rho = _unpack_channels(out2, 1, Nm)[0]
+    if not with_drho:
+        return Jr, Jt, Jz, rho
+
+    # --- drho via per-particle telescoped differences (see
+    # deposit_rho_J_sorted).  Endpoint cubic shapes derive from the
+    # mid geometry plus half-step deltas in cell units; z crossers are
+    # floor-split to the right offset block (exact in z; radial
+    # crossers keep the mid bin frame -- O(crossing-depth^2), same
+    # approximation as the linear path).
+    hz = chdt * inv_gamma * uz * invdz
+    vr = geom["cos"] * ux + geom["sin"] * uy
+    hr = chdt * inv_gamma * vr * invdr
+
+    s_mid = geom["s_sub"]          # cubic sub-cell z in (0, 1]
+    delta_mid = geom["delta"]      # clipped to J's [-2, -1] window
+    ok = geom["ok"]
+
+    def z_blocks(s_shift):
+        """Offset-block cubic z weights for sub-cell s_mid + s_shift,
+        floor-split so crossers land in the right block (exact).
+        Blocks cover offsets -3..3 (delta_mid in [-2,-1], shift in
+        {-1,0,1}, corner j in 0..3)."""
+        sp_ = s_mid + s_shift
+        shift = jnp.ceil(sp_).astype(jnp.int32) - 1     # u' in (0, 1]
+        s = sp_ - shift.astype(sp_.dtype)
+        v_ = 1.0 - s
+        sj = ((1.0 / 6.0) * v_**3 * ok,
+              (1.0 / 6.0) * (3.0 * s**3 - 6.0 * s**2 + 4.0) * ok,
+              (1.0 / 6.0) * (3.0 * v_**3 - 6.0 * v_**2 + 4.0) * ok,
+              (1.0 / 6.0) * s**3 * ok)
+        d = delta_mid + shift
+        return [sum(sj[j] * (d == o - j) for j in range(4))
+                for o in range(-3, 4)]
+
+    zw_a = z_blocks(-hz)
+    zw_b = z_blocks(hz)
+
+    # Endpoint radial corner weights in the mid bin frame
+    def radial_rows(u_):
+        corr = (1.0 - u_) * u_
+        bn0 = ruyten_cubic[0][geom["bn_idx"]] * corr
+        bnh = ruyten_cubic[1][geom["bn_idx"]] * corr
+        v_ = 1.0 - u_
+        s0 = (1.0 / 6.0) * v_**3
+        s1 = (1.0 / 6.0) * (3.0 * u_**3 - 6.0 * u_**2 + 4.0)
+        s2 = (1.0 / 6.0) * (3.0 * v_**3 - 6.0 * v_**2 + 4.0)
+        s3 = (1.0 / 6.0) * u_**3
+        return ((s0, s1 + bn0, s2 - bn0, s3),
+                (s0, s1 + bnh, s2 - bnh, s3))
+
+    meta2_ = _channel_meta(Nm, 1, [+1.0], x.dtype)
+    m0_a, mh_a = radial_rows(geom["u"] - hr)
+    m0_b, mh_b = radial_rows(geom["u"] + hr)
+    sr_a = _corner_weights_cubic(geom, meta2_, sr_m0=m0_a, sr_mh=mh_a)
+    sr_b = _corner_weights_cubic(geom, meta2_, sr_m0=m0_b, sr_mh=mh_b)
+
+    # Endpoint phases (differences are small relative to O(1) inputs)
+    x0e, y0e = x - chdt * inv_gamma * ux, y - chdt * inv_gamma * uy
+    x2e, y2e = x + chdt * inv_gamma * ux, y + chdt * inv_gamma * uy
+    r0e = jnp.maximum(jnp.sqrt(x0e * x0e + y0e * y0e), 1e-30)
+    r2e = jnp.maximum(jnp.sqrt(x2e * x2e + y2e * y2e), 1e-30)
+    cma, sma = _mode_phases(x0e / r0e, y0e / r0e, Nm)
+    cmb, smb = _mode_phases(x2e / r2e, y2e / r2e, Nm)
+    one = jnp.ones_like(w)
+    ph_a = _pack_padded([CArr(jnp.stack([one * c_ for c_ in cma]),
+                              jnp.stack([one * s_ for s_ in sma]))], Nm)
+    ph_b = _pack_padded([CArr(jnp.stack([one * c_ for c_ in cmb]),
+                              jnp.stack([one * s_ for s_ in smb]))], Nm)
+    dph = ph_b - ph_a
+    wj3 = wj[:, :, None]
+
+    # Telescoped difference blocks: 7 z-offsets x 4 radial corners
+    blocks = []
+    for o in range(7):
+        za = zw_a[o][:, :, None]
+        zb = zw_b[o][:, :, None]
+        dz_ = zb - za
+        for j in range(4):
+            dsr = sr_b[j] - sr_a[j]
+            blocks.append(wj3 * (dph * (za * sr_a[j]) + ph_b
+                                 * (dz_ * sr_a[j]) + ph_b * (zb * dsr)))
+    V_D = jnp.concatenate(blocks, axis=2)
+
+    # ONE contraction for J + drho (shared mid-position one-hot S)
+    Nrb = Nr + 2 * NGUARD
+    S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=x.dtype)
+    V_J = _build_V_cubic(geom, channels, meta)
+    W_J = V_J.shape[2]
+    out_all = _contract(S, jnp.concatenate([V_J, V_D], axis=2))
+    out_J = _reassemble_cubic(out_all[..., :W_J], Nz, Nr, zfold, -2, -1,
+                              channels.shape[2])
+    Jr, Jt, Jz = _unpack_channels(out_J, 3, Nm)
+    out_D = _reassemble_cubic(out_all[..., W_J:], Nz, Nr, zfold, -3, 3,
+                              ph_a.shape[2])
+    drho = _unpack_channels(out_D, 1, Nm)[0]
+    return Jr, Jt, Jz, rho, drho
+
+
+def _dense_deposit_cubic(geom, channel_vals, meta, Nz, Nr, zfold,
+                         delta_lo, delta_hi):
+    """Contract padded cubic channels against the one-hot radial matrix."""
+    Nrb = Nr + 2 * NGUARD
+    C = channel_vals.shape[2]
+    V = _build_V_cubic(geom, channel_vals, meta)
+    S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=channel_vals.dtype)
+    out = _contract(S, V)
+    return _reassemble_cubic(out, Nz, Nr, zfold, delta_lo, delta_hi, C)

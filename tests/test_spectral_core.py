@@ -132,3 +132,53 @@ def test_psatd_vacuum_energy_conservation():
     e1 = energy(*E, *B)
     # Standing wave energy oscillates between E and B; total is conserved
     assert abs(e1 - e0) / e0 < 1e-10
+
+
+@pytest.mark.parametrize("Nz", [800, 1024, 4096, 4500])
+def test_z_transform_matches_numpy_fft(Nz):
+    """fft_z / ifft_z match np.fft for every factorization path.
+
+    Nz=800 takes the one-level radix split, 1024 the radix split
+    (no balanced >=64 factorization below 4096), 4096 the four-step
+    (64 x 64), 4500 the four-step with unequal factors (75 x 60 is
+    rejected by the >=64 rule -> falls to (4500/67..) -- whatever
+    dft_factorization_arrays picks, the result must be exact).
+    """
+    from fbpic_tpu.fields.transform import (
+        fft_z, ifft_z, fft_z_many, ifft_z_many, dft_factorization_arrays,
+        dft_matrices, fourstep_dft_matrices, FOURSTEP_MIN_NZ)
+    Nm, Nr = 2, 5
+    rng = np.random.RandomState(7)
+    F_np = rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr)
+    F = CArr.from_numpy(F_np, jnp.float64)
+
+    dev = lambda v: jnp.asarray(v, dtype=jnp.float64)
+    Wf, Wi = dft_matrices(min(Nz, 8))  # placeholder when factorized
+    extra = dft_factorization_arrays(Nz, dev)
+    if not extra:
+        Wf, Wi = dft_matrices(Nz)
+    mats = TransformMatrices(
+        M0=None, invM0=None, Mp=None, invMp=None, Mm=None, invMm=None,
+        kr=None, Wf_re=dev(Wf.real), Wf_im=dev(Wf.imag),
+        Wi_re=dev(Wi.real), Wi_im=dev(Wi.imag), **extra)
+    if Nz >= 4096:
+        # The large-Nz path must actually be sub-quadratic (four-step)
+        assert mats.W1f_re is not None, \
+            f"four-step not active at Nz={Nz}"
+
+    G = fft_z(mats, F).to_numpy()
+    G_ref = np.fft.fft(F_np, axis=1)
+    np.testing.assert_allclose(G, G_ref, atol=1e-8 * np.abs(G_ref).max())
+
+    F2 = ifft_z(mats, CArr.from_numpy(G_ref, jnp.float64)).to_numpy()
+    np.testing.assert_allclose(F2, F_np, atol=1e-10 * np.abs(F_np).max())
+
+    # The fused multi-field variants share the factorization
+    F_np2 = rng.randn(Nm, Nz, Nr) + 1j * rng.randn(Nm, Nz, Nr)
+    outs = fft_z_many(mats, [F, CArr.from_numpy(F_np2, jnp.float64)])
+    np.testing.assert_allclose(outs[1].to_numpy(),
+                               np.fft.fft(F_np2, axis=1),
+                               atol=1e-8 * np.abs(G_ref).max())
+    back = ifft_z_many(mats, outs)
+    np.testing.assert_allclose(back[0].to_numpy(), F_np,
+                               atol=1e-10 * np.abs(F_np).max())
