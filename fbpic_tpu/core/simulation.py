@@ -536,7 +536,7 @@ class Simulation:
             # (tests) the scatter path stays the default.
             from ..utils.dtypes import x64_enabled
             if ((_on_accelerator() or not x64_enabled()) and Ntot > 0
-                    and self.config.particle_shape == "linear"
+                    and self.config.particle_shape in ("linear", "cubic")
                     and not is_tracer):
                 cols = np.floor((np.asarray(z) - self.zmin)
                                 / self.config.dz).astype(int)

@@ -879,8 +879,12 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                               and config.current_correction
                               == "cross-deposition"))
         for i, sc in enumerate(species_configs):
-            if (sc.sort_K > 0 and sc.particle_shape == "linear"
-                    and not sc.is_tracer):
+            # Cubic species ride the sorted path only through the fused
+            # deposit (the standalone deposit_*_sorted are linear-only);
+            # without fusion they keep the 16-point scatter.
+            shape_ok = (sc.particle_shape == "linear"
+                        or (sc.particle_shape == "cubic" and will_fuse))
+            if sc.sort_K > 0 and shape_ok and not sc.is_tracer:
                 sp = species[i]
                 # Payload prefix convention of _padded_arrays:
                 # x, y, z, w_eff, u, inv_gamma [, Kahan residuals].
@@ -924,7 +928,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 and not (options.correct_currents
                          and config.current_correction
                          == "cross-deposition")):
-            from ..particles.sorted_deposit import deposit_rho_J_sorted
+            from ..particles.sorted_deposit import (
+                deposit_rho_J_sorted, deposit_rho_J_sorted_cubic)
             fused_J, fused_rho = {}, {}
             # With drho in hand, rho_next can be DERIVED as
             # rho_prev + drho (exact for the correction's and
@@ -938,12 +943,16 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 w_eff = sp.w
                 if sp.ionization_level is not None:
                     w_eff = w_eff * sp.ionization_level.astype(sp.w.dtype)
-                out = deposit_rho_J_sorted(
+                cubic = sc.particle_shape == "cubic"
+                fused_fn = (deposit_rho_J_sorted_cubic if cubic
+                            else deposit_rho_J_sorted)
+                out = fused_fn(
                     sorts[i], sp.x, sp.y, sp.z, w_eff, sc.q,
                     sp.ux, sp.uy, sp.uz, sp.inv_gamma, 0.5 * config.dt,
                     config.Nm, 1.0 / config.dz, zmin, config.Nz,
                     1.0 / config.dr, 0.0, config.Nr,
-                    aux.ruyten_linear, zfold=_zfold(config),
+                    aux.ruyten_cubic if cubic else aux.ruyten_linear,
+                    zfold=_zfold(config),
                     comp=_comp_of(sp), with_drho=want_drho,
                     with_rho=not derive_rho_next)
                 fused_J[i] = out[:3]

@@ -686,7 +686,7 @@ def _padded_geometry_cubic(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
     return dict(cos=cos, sin=sin, below=below,
                 zw=zw, sr_m0=sr_m0, sr_mh=sr_mh, ir_buf=ir_buf,
                 ir_low=ir_low, u=u, bn_idx=bn_idx,
-                s_sub=uz_ if ez is None else uz_ + ez,
+                s_sub=uz_,     # comp-folded by _cubic_axis_weights
                 delta=delta, ok=ok)
 
 
@@ -896,7 +896,8 @@ def deposit_rho_J_sorted_cubic(sort, x, y, z, w, q, ux, uy, uz,
     out_J = _reassemble_cubic(out_all[..., :W_J], Nz, Nr, zfold, -2, -1,
                               channels.shape[2])
     Jr, Jt, Jz = _unpack_channels(out_J, 3, Nm)
-    out_D = _reassemble_cubic(out_all[..., W_J:], Nz, Nr, zfold, -3, 3,
+    # drho z blocks span offsets [-3, 3] = base range [-3, 0] + corners
+    out_D = _reassemble_cubic(out_all[..., W_J:], Nz, Nr, zfold, -3, 0,
                               ph_a.shape[2])
     drho = _unpack_channels(out_D, 1, Nm)[0]
     return Jr, Jt, Jz, rho, drho

@@ -219,3 +219,132 @@ def test_fused_drho_matches_difference():
     # incoherent per-cell signal at these random velocities; the
     # physics-level accuracy is validated end-to-end by test_f32_parity)
     assert e < 5e-2 * s
+
+
+def test_fused_cubic_matches_scatter():
+    """deposit_rho_J_sorted_cubic must match the cubic scatter passes:
+    J at the sort positions, rho one exact half-push later."""
+    from fbpic_tpu.constants import c
+    rng = np.random.RandomState(13)
+    Nz, Nr, Nm = 32, 12, 2
+    dz, dr, zmin = 0.1, 0.2, -1.0
+    sim = Simulation(Nz, zmin + Nz * dz, Nr, Nr * dr, Nm, 1e-12,
+                     zmin=zmin, verbose_level=0)
+    ruy = sim.aux.ruyten_cubic
+
+    Np = 5000
+    z = zmin + rng.uniform(-0.2, Nz * dz + 0.2, Np)
+    r = rng.uniform(0, Nr * dr * 0.99, Np)
+    th = rng.uniform(0, 2 * np.pi, Np)
+    x, y = r * np.cos(th), r * np.sin(th)
+    w = rng.uniform(0.5, 1.5, Np)
+    w[rng.rand(Np) < 0.1] = 0.0
+    ux, uy, uz = rng.randn(3, Np) * 0.5
+    ig = 1 / np.sqrt(1 + ux**2 + uy**2 + uz**2)
+    dt_half = 0.25 * dz / c
+    q = -1.6e-19
+
+    for zfold in ("clamp", "periodic"):
+        zz = zmin + np.mod(z - zmin, Nz * dz) if zfold == "periodic" else z
+        xj, yj, zj, wj = map(jnp.asarray, (x, y, zz, w))
+        uxj, uyj, uzj, igj = map(jnp.asarray, (ux, uy, uz, ig))
+        sort = sd.build_column_sort(zj, wj, zmin, 1 / dz, Nz, K=640)
+        Jr, Jt, Jz, rho = sd.deposit_rho_J_sorted_cubic(
+            sort, xj, yj, zj, wj, q, uxj, uyj, uzj, igj, dt_half,
+            Nm, 1 / dz, zmin, Nz, 1 / dr, 0., Nr, ruy, zfold=zfold)
+
+        aJ = dd.deposit_J_cubic(xj, yj, zj, wj, q, uxj, uyj, uzj, igj,
+                                Nm, 1 / dz, zmin, Nz, 1 / dr, 0., Nr,
+                                ruy, zfold=zfold)
+        chdt = c * dt_half
+        x2, y2, z2 = (xj + chdt * igj * uxj, yj + chdt * igj * uyj,
+                      zj + chdt * igj * uzj)
+        a_rho = dd.deposit_rho_cubic(x2, y2, z2, wj, q, Nm, 1 / dz,
+                                     zmin, Nz, 1 / dr, 0., Nr, ruy,
+                                     zfold=zfold)
+        for A, B in zip(aJ + (a_rho,), (Jr, Jt, Jz, rho)):
+            scale = np.max(np.abs(A.re))
+            assert np.max(np.abs(A.re - B.re)) < 1e-12 * scale, zfold
+            assert np.max(np.abs(A.im - B.im)) < 1e-12 * scale, zfold
+
+
+def test_fused_cubic_drho_matches_difference():
+    """Cubic with_drho=True reproduces rho(x_{n+1}) - rho(x_n)."""
+    from fbpic_tpu.constants import c
+    rng = np.random.RandomState(17)
+    Nz, Nr, Nm = 32, 12, 2
+    dz, dr, zmin = 0.1, 0.2, -1.0
+    sim = Simulation(Nz, zmin + Nz * dz, Nr, Nr * dr, Nm, 1e-12,
+                     zmin=zmin, verbose_level=0)
+    ruy = sim.aux.ruyten_cubic
+
+    Np = 5000
+    z = zmin + rng.uniform(0.0, Nz * dz, Np)
+    r = rng.uniform(0, Nr * dr * 0.99, Np)
+    th = rng.uniform(0, 2 * np.pi, Np)
+    x, y = r * np.cos(th), r * np.sin(th)
+    w = rng.uniform(0.5, 1.5, Np)
+    ux, uy, uz = rng.randn(3, Np) * 0.005
+    ig = 1 / np.sqrt(1 + ux**2 + uy**2 + uz**2)
+    dt_half = 0.25 * dz / c
+    q = -1.6e-19
+
+    xj, yj, zj, wj = map(jnp.asarray, (x, y, z, w))
+    uxj, uyj, uzj, igj = map(jnp.asarray, (ux, uy, uz, ig))
+    sort = sd.build_column_sort(zj, wj, zmin, 1 / dz, Nz, K=640)
+    out = sd.deposit_rho_J_sorted_cubic(
+        sort, xj, yj, zj, wj, q, uxj, uyj, uzj, igj, dt_half,
+        Nm, 1 / dz, zmin, Nz, 1 / dr, 0., Nr, ruy, zfold="clamp",
+        with_drho=True)
+    drho = out[4]
+    # The J channels of the joint contraction must still match scatter
+    aJ = dd.deposit_J_cubic(xj, yj, zj, wj, q, uxj, uyj, uzj, igj,
+                            Nm, 1 / dz, zmin, Nz, 1 / dr, 0., Nr,
+                            ruy, zfold="clamp")
+    for A, B in zip(aJ, out[:3]):
+        scale = np.max(np.abs(A.re))
+        assert np.max(np.abs(A.re - B.re)) < 1e-12 * scale
+
+    chdt = c * dt_half
+    x2, y2, z2 = (xj + chdt * igj * uxj, yj + chdt * igj * uyj,
+                  zj + chdt * igj * uzj)
+    x0, y0, z0 = (xj - chdt * igj * uxj, yj - chdt * igj * uyj,
+                  zj - chdt * igj * uzj)
+    r2 = dd.deposit_rho_cubic(x2, y2, z2, wj, q, Nm, 1 / dz, zmin, Nz,
+                              1 / dr, 0., Nr, ruy, zfold="clamp")
+    r0 = dd.deposit_rho_cubic(x0, y0, z0, wj, q, Nm, 1 / dz, zmin, Nz,
+                              1 / dr, 0., Nr, ruy, zfold="clamp")
+    truth = r2 - r0
+    s = np.abs(np.asarray(truth.re)).max()
+    err = max(np.abs(np.asarray(drho.re - truth.re)).max(),
+              np.abs(np.asarray(drho.im - truth.im)).max())
+    assert err < 5e-2 * s
+
+
+def test_fused_cubic_step_matches_scatter_step():
+    """A short periodic cubic-shape run with the fused sorted-dense
+    deposition must match the cubic scatter-path run to roundoff."""
+    from fbpic_tpu.constants import e, m_e
+
+    def run(fused):
+        Nz, Nr, Nm = 48, 16, 2
+        Lz, rmax = 20.e-6, 15.e-6
+        dt = Lz / Nz / 3.e8
+        sim = Simulation(Nz, Lz, Nr, rmax, Nm, dt, zmin=0.,
+                         boundaries={"z": "periodic", "r": "reflective"},
+                         particle_shape="cubic", random_seed=0,
+                         verbose_level=0)
+        sim.use_fused_deposit = fused
+        dens = lambda z, r: 1. + 0.05 * np.sin(2 * np.pi * z / Lz)
+        sim.add_new_species(q=-e, m=m_e, n=1.e24, dens_func=dens,
+                            p_nz=2, p_nr=2, p_nt=4, uz_m=0.05,
+                            p_zmin=0., p_zmax=Lz, p_rmax=12.e-6,
+                            sort_K=256 if fused else 0)
+        sim.step(10, show_progress=False)
+        return np.asarray(sim.state.interp.Ez.re)
+
+    a = run(False)
+    b = run(True)
+    scale = np.max(np.abs(a))
+    assert scale > 0
+    assert np.max(np.abs(a - b)) < 1e-9 * scale
