@@ -449,6 +449,43 @@ def damp_EB_z(config, aux, spect: SpectralFields, profile,
     return dataclasses.replace(spect, **dict(zip(names, back)))
 
 
+def damp_EB_z_skinny(aux, spect: SpectralFields,
+                     interp_raw: InterpFields) -> SpectralFields:
+    """Open-z damping as a skinny spectral correction (single chip,
+    no mirrors): damped = spect - Wf[:, rows] (1-prof)[rows]
+    partial[rows], where partial[rows] = forward-DHT of the raw
+    interp rows the step just computed -- one (Nz, nrows) matmul per
+    field instead of damp_EB_z's full inverse+forward z round trip.
+    Exact: the z profile commutes with the radial transform.
+    """
+    rows = aux.damp_rows
+    sl = [CArr(F.re[:, rows, :], F.im[:, rows, :])
+          for F in (interp_raw.Er, interp_raw.Et, interp_raw.Ez,
+                    interp_raw.Br, interp_raw.Bt, interp_raw.Bz)]
+    pe, me = tr.rt_to_pm(sl[0], sl[1])
+    pb, mb = tr.rt_to_pm(sl[3], sl[4])
+    m_ = aux.mats
+    rows_spect = tr._dht_many(
+        [m_.Mp, m_.Mm, m_.M0, m_.Mp, m_.Mm, m_.M0],
+        [pe, me, sl[2], pb, mb, sl[5]])
+    corr = tr._zmatmul_many(aux.damp_skinny_re, aux.damp_skinny_im,
+                            rows_spect)
+    names = ["Ep", "Em", "Ez", "Bp", "Bm", "Bz"]
+    return dataclasses.replace(
+        spect, **{n: getattr(spect, n) - cc
+                  for n, cc in zip(names, corr)})
+
+
+def _apply_z_profile_interp(aux, interp: InterpFields,
+                            names) -> InterpFields:
+    """Elementwise open-z damping of interp fields (the z profile
+    commutes with the radial transform, so damping interp_raw equals
+    transforming the damped spectral fields)."""
+    prof = aux.damp_z[None, :, None]
+    return dataclasses.replace(
+        interp, **{n: getattr(interp, n) * prof for n in names})
+
+
 def _z_profile(config, options, aux, zmin, time, halo=None):
     """Combined multiplicative z profile: open-boundary damping x
     mirror slabs set to zero (reference: mirrors.py:51, damping above).
@@ -1108,23 +1145,41 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             spect = shift_spectral_fields(config, aux, spect, n_move)
             zmin = zmin + n_move.astype(zmin.dtype) * config.dz
 
-        # --- Open-z boundaries / mirrors / multi-device guard replace:
-        #     one partial-space round trip covers all of them
+        # --- Open-z boundaries / mirrors / multi-device guard replace.
+        # The plain single-chip damping profile is applied CHEAPLY:
+        # elementwise on the interp fields (the profile commutes with
+        # the radial transform) + a skinny spectral correction
+        # (damp_EB_z_skinny) or folded into the PML round trip; the
+        # full partial-space round trip (damp_EB_z) remains for
+        # mirrors (time-dependent rows) and the mesh guard replace.
         profile = _z_profile(config, options, aux, zmin, state.time,
                              halo=halo)
-        if profile is not None or halo is not None:
+        pml_active = config.use_pml and config.nr_damp > 0
+        plain_damp = (halo is None and not options.mirrors
+                      and profile is not None
+                      and (aux.damp_rows is not None or pml_active))
+        if (profile is not None or halo is not None) and not plain_damp:
             spect = damp_EB_z(config, aux, spect, profile, halo=halo)
 
         # --- Radial PML: damp the split fields in full interp space,
         #     then refresh spectral space (reference: main.py:719-768)
-        if config.use_pml and config.nr_damp > 0:
+        if pml_active:
             interp = spect2interp_EB(aux, spect, interp, use_pml=True)
+            if plain_damp:
+                interp = _apply_z_profile_interp(
+                    aux, interp, ["Er", "Et", "Ez", "Br", "Bt", "Bz",
+                                  "Er_pml", "Et_pml", "Br_pml",
+                                  "Bt_pml"])
             interp = damp_pml_r(aux, interp)
             spect = interp2spect_EB(aux, interp, spect, use_pml=True)
         else:
             # --- Fields back to the interpolation grid for the next gather
             interp = spect2interp_EB(aux, spect, interp,
                                      use_pml=config.use_pml)
+            if plain_damp:
+                spect = damp_EB_z_skinny(aux, spect, interp)
+                interp = _apply_z_profile_interp(
+                    aux, interp, ["Er", "Et", "Ez", "Br", "Bt", "Bz"])
 
         return SimState(
             spect=spect,

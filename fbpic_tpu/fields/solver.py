@@ -160,6 +160,13 @@ class FieldAux:
     damp_z: Optional[jax.Array] = None   # (Nz,) multiplicative
     # Radial PML damping profile (None unless use_pml):
     damp_r_pml: Optional[jax.Array] = None  # (Nr,) 1 outside the PML
+    # Skinny spectral damping correction (single-chip open z, no
+    # mirrors): the z profile differs from 1 only on the guard/damp
+    # rows, so damping = spect - Wf[:, rows] (1-prof)[rows] ifft[rows]
+    # -- one (Nz, nrows) matmul instead of a full z round trip.
+    damp_rows: Optional[jax.Array] = None        # (nrows,) int32
+    damp_skinny_re: Optional[jax.Array] = None   # (Nz, nrows)
+    damp_skinny_im: Optional[jax.Array] = None
 
 
 def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
@@ -223,6 +230,22 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
     Wf, Wi = dft_matrices(Nz)
     split_mats = dft_factorization_arrays(Nz, dev_r)
 
+    # Skinny damping correction: damped = spect - Wf[:, rows] *
+    # (1 - prof)[rows] @ partial[rows].  Exact (the profile acts on z
+    # only and commutes with the radial transform); the partial rows
+    # come from the interp fields the step computes anyway.
+    damp_skinny = {}
+    if config.boundaries_z == "open" and config.nz_damp > 0:
+        prof = _damp_profile_z(config)
+        rows = np.nonzero(prof != 1.0)[0]
+        if rows.size:
+            Wsk = Wf[:, rows] * (1.0 - prof[rows])[None, :]
+            damp_skinny = dict(
+                damp_rows=jnp.asarray(rows, dtype=jnp.int32),
+                damp_skinny_re=dev_r(Wsk.real),
+                damp_skinny_im=dev_r(Wsk.imag),
+            )
+
     return FieldAux(
         mats=TransformMatrices(
             **{k: dev_r(v) for k, v in mats_np.items() if k != "kr"},
@@ -257,6 +280,7 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
                 else None),
         damp_r_pml=(dev_r(_pml_damp_profile_r(config))
                     if config.use_pml and config.nr_damp > 0 else None),
+        **damp_skinny,
     )
 
 
