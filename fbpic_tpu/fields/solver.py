@@ -246,13 +246,14 @@ def build_field_aux(config: GridConfig, smoother: BinomialSmoother = None,
                 damp_skinny_im=dev_r(Wsk.imag),
             )
 
+    fwd_mats = ({} if split_mats
+                else dict(Wf_re=dev_r(Wf.real), Wf_im=dev_r(Wf.imag)))
     return FieldAux(
         mats=TransformMatrices(
             **{k: dev_r(v) for k, v in mats_np.items() if k != "kr"},
             kr=dev_r(kr_np),
-            Wf_re=dev_r(Wf.real), Wf_im=dev_r(Wf.imag),
             Wi_re=dev_r(Wi.real), Wi_im=dev_r(Wi.imag),
-            **split_mats,
+            **fwd_mats, **split_mats,
         ),
         kz_true=dev_r(kz_true),
         kz=dev_r(kz_mod[None, :, None]),

@@ -155,10 +155,13 @@ class TransformMatrices:
     Mm: jax.Array
     invMm: jax.Array
     kr: jax.Array      # (Nm, Nr)
-    Wf_re: jax.Array   # (Nz, Nz) forward DFT
-    Wf_im: jax.Array
-    Wi_re: jax.Array   # (Nz, Nz) inverse DFT
-    Wi_im: jax.Array
+    # Dense DFT matrices; the forward pair is omitted (None) when a
+    # factorization below is active, the inverse is kept for the
+    # boosted-frame diagnostic's row reads (boosted_diag.py)
+    Wf_re: jax.Array = None   # (Nz, Nz) forward DFT
+    Wf_im: jax.Array = None
+    Wi_re: jax.Array = None   # (Nz, Nz) inverse DFT
+    Wi_im: jax.Array = None
     # Optional Cooley-Tukey factorization (None = dense DFT):
     # (M, M) sub-DFT matrices + (Nz, R) twiddles, see split_dft_matrices
     WfM_re: jax.Array = None
@@ -193,14 +196,17 @@ class TransformMatrices:
         dtype = dtype or real_dtype()
         dev = lambda v: jnp.asarray(v, dtype=dtype)
         extra = dft_factorization_arrays(Nz, dev)
+        # The dense forward matrix is dead weight when a factorization
+        # is active (the inverse stays: boosted_diag reads its rows)
+        fwd = {} if extra else dict(Wf_re=dev(Wf.real),
+                                    Wf_im=dev(Wf.imag))
         return TransformMatrices(
             M0=dev(mats["M0"]), invM0=dev(mats["invM0"]),
             Mp=dev(mats["Mp"]), invMp=dev(mats["invMp"]),
             Mm=dev(mats["Mm"]), invMm=dev(mats["invMm"]),
             kr=dev(mats["kr"]),
-            Wf_re=dev(Wf.real), Wf_im=dev(Wf.imag),
             Wi_re=dev(Wi.real), Wi_im=dev(Wi.imag),
-            **extra,
+            **fwd, **extra,
         )
 
 

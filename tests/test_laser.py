@@ -138,3 +138,80 @@ def test_mirror_mode_filtering():
 
     m0_a, m1_a = run("all")
     assert m0_a < 1.0 and m1_a < 1.0
+
+
+def _physical_Ex(sim, Nm):
+    """Ex(r, y=0, z) on the grid from the azimuthal modes.
+
+    Physical field F(theta) = sum_m w_m (Re F_m cos m th
+    + Im F_m sin m th) with w_0 = 1, w_m>0 = 2; at theta = 0 Ex = Er."""
+    out = 0.0
+    for m in range(Nm):
+        Er = sim.get_interp_field("Er", m)
+        out = out + (1.0 if m == 0 else 2.0) * Er.real
+    return np.asarray(out)      # (Nz, Nr)
+
+
+@pytest.mark.parametrize("profile_name", [
+    "laguerre_gauss", "donut", "flattened", "fewcycle"])
+def test_profile_injection_parity(profile_name):
+    """Each laser profile's injected grid field must match the
+    profile's own E_field evaluation (mirrors the reference's
+    per-profile tests: test_fewcycle_laser.py,
+    test_flattenedgauss_laser.py, ...)."""
+    from fbpic_tpu.lpa_utils.laser import (
+        LaguerreGaussLaser, DonutLikeLaguerreGaussLaser,
+        FlattenedGaussianLaser, FewCycleLaser)
+    profiles = {
+        "laguerre_gauss": LaguerreGaussLaser(
+            p=0, m=1, a0=a0, waist=6.e-6, tau=tau, z0=z0),
+        "donut": DonutLikeLaguerreGaussLaser(
+            p=0, m=1, a0=a0, waist=6.e-6, tau=tau, z0=z0),
+        "flattened": FlattenedGaussianLaser(
+            a0=a0, w0=8.e-6, N=6, tau=tau, z0=z0),
+        "fewcycle": FewCycleLaser(
+            a0=a0, waist=5.e-6, tau_fwhm=5.e-15, z0=z0),
+    }
+    nm = 3   # donut/LG m=1 intensity lives in modes 0..2
+    sim = Simulation(Nz, zmax, Nr, rmax, nm, dt, random_seed=0,
+                     verbose_level=0)
+    profile = profiles[profile_name]
+    add_laser_pulse(sim, profile)
+
+    Ex_grid = _physical_Ex(sim, nm)
+    z = sim.grid_z()
+    r = (np.arange(Nr) + 0.5) * (rmax / Nr)
+    Z, R = np.meshgrid(z, r, indexing="ij")
+    Ex_th, _ = profile.E_field(R, np.zeros_like(R), Z, 0.0)
+    scale = np.abs(Ex_th).max()
+    assert scale > 0
+    err = np.abs(Ex_grid - Ex_th).max()
+    # Every profile measures ~2.2% here, uniformly: that is the
+    # forward-mode projection of the direct injection (the paraxial
+    # formula is not an exact unidirectional Maxwell solution), not a
+    # profile error -- a transcription error in a profile formula
+    # (Gouy phase, mode routing, ...) shows up at O(1)
+    assert err < 0.04 * scale, (profile_name, err / scale)
+
+    # Vacuum propagation: energy conserved, centroid moves at ~c
+    def energy():
+        tot = 0.0
+        for name in ("Er", "Et", "Ez"):
+            for m in range(nm):
+                F = sim.get_interp_field(name, m)
+                w_m = 1.0 if m == 0 else 2.0
+                tot += w_m * float(np.sum(np.abs(F) ** 2 * r[None, :]))
+        return tot
+
+    def centroid():
+        wgt = np.abs(_physical_Ex(sim, nm)) ** 2
+        return float(np.sum(wgt * z[:, None]) / np.sum(wgt))
+
+    e0, c0 = energy(), centroid()
+    N = 40
+    sim.step(N, show_progress=False)
+    e1, c1 = energy(), centroid()
+    assert abs(e1 - e0) / e0 < 1e-5, profile_name
+    moved = c1 - c0
+    assert abs(moved - N * c * dt) < 1.2 * zmax / Nz, (
+        profile_name, moved, N * c * dt)

@@ -182,3 +182,37 @@ def test_z_transform_matches_numpy_fft(Nz):
     back = ifft_z_many(mats, outs)
     np.testing.assert_allclose(back[0].to_numpy(), F_np,
                                atol=1e-10 * np.abs(F_np).max())
+
+
+def test_fourstep_in_full_solver():
+    """A vacuum laser propagated on an Nz=4096 grid (four-step DFT
+    path) keeps its energy and propagates at c -- integration check of
+    the large-Nz factorization inside the PSATD solver."""
+    import jax.numpy as jnp
+    from fbpic_tpu import Simulation
+    from fbpic_tpu.lpa_utils.laser import add_laser_pulse, GaussianLaser
+
+    Nz, Nr, Nm = 4096, 16, 2
+    zmax, rmax = 160.e-6, 25.e-6
+    dt = zmax / Nz / c
+    sim = Simulation(Nz, zmax, Nr, rmax, Nm, dt, zmin=0.,
+                     boundaries={"z": "periodic", "r": "reflective"},
+                     verbose_level=0)
+    assert sim.aux.mats.W1f_re is not None, "four-step not active"
+    add_laser_pulse(sim, GaussianLaser(a0=0.1, waist=12.e-6,
+                                       tau=15.e-15, z0=40.e-6))
+    Et0 = np.asarray(sim.get_interp_field("Et", 1))
+    e0 = float(np.sum(np.abs(Et0) ** 2))
+    z_centroid0 = float(
+        np.sum(np.abs(Et0[:, 0]) ** 2
+               * np.arange(Nz)) / np.sum(np.abs(Et0[:, 0]) ** 2))
+    N = 200
+    sim.step(N, show_progress=False)
+    Et = np.asarray(sim.get_interp_field("Et", 1))
+    e1 = float(np.sum(np.abs(Et) ** 2))
+    assert abs(e1 - e0) / e0 < 1e-6          # vacuum: energy conserved
+    z_centroid = float(
+        np.sum(np.abs(Et[:, 0]) ** 2
+               * np.arange(Nz)) / np.sum(np.abs(Et[:, 0]) ** 2))
+    moved = (z_centroid - z_centroid0) * (zmax / Nz)
+    assert abs(moved - N * c * dt) < 2 * zmax / Nz   # group velocity ~ c
