@@ -201,18 +201,34 @@ def test_fourstep_in_full_solver():
     assert sim.aux.mats.W1f_re is not None, "four-step not active"
     add_laser_pulse(sim, GaussianLaser(a0=0.1, waist=12.e-6,
                                        tau=15.e-15, z0=40.e-6))
-    Et0 = np.asarray(sim.get_interp_field("Et", 1))
-    e0 = float(np.sum(np.abs(Et0) ** 2))
-    z_centroid0 = float(
-        np.sum(np.abs(Et0[:, 0]) ** 2
-               * np.arange(Nz)) / np.sum(np.abs(Et0[:, 0]) ** 2))
+
+    def em_energy():
+        # Full conserved quadratic form (E and B exchange energy;
+        # any single component oscillates at the 1e-4 level)
+        r = (np.arange(Nr) + 0.5) * (rmax / Nr)
+        tot = 0.0
+        for name in ("Er", "Et", "Ez"):
+            for m in range(Nm):
+                F = np.asarray(sim.get_interp_field(name, m))
+                w_m = 1.0 if m == 0 else 2.0
+                tot += w_m * float(np.sum(np.abs(F) ** 2 * r[None, :]))
+        for name in ("Br", "Bt", "Bz"):
+            for m in range(Nm):
+                F = np.asarray(sim.get_interp_field(name, m))
+                w_m = 1.0 if m == 0 else 2.0
+                tot += w_m * c**2 * float(
+                    np.sum(np.abs(F) ** 2 * r[None, :]))
+        return tot
+
+    def centroid():
+        Et = np.asarray(sim.get_interp_field("Et", 1))
+        w = np.abs(Et[:, 0]) ** 2
+        return float(np.sum(w * np.arange(Nz)) / np.sum(w))
+
+    e0, c0_ = em_energy(), centroid()
     N = 200
     sim.step(N, show_progress=False)
-    Et = np.asarray(sim.get_interp_field("Et", 1))
-    e1 = float(np.sum(np.abs(Et) ** 2))
+    e1, c1_ = em_energy(), centroid()
     assert abs(e1 - e0) / e0 < 1e-6          # vacuum: energy conserved
-    z_centroid = float(
-        np.sum(np.abs(Et[:, 0]) ** 2
-               * np.arange(Nz)) / np.sum(np.abs(Et[:, 0]) ** 2))
-    moved = (z_centroid - z_centroid0) * (zmax / Nz)
+    moved = (c1_ - c0_) * (zmax / Nz)
     assert abs(moved - N * c * dt) < 2 * zmax / Nz   # group velocity ~ c
