@@ -260,3 +260,65 @@ def get_space_charge_fields(sim, view, direction="forward"):
         Er=current["Er"] + Er_i, Et=current["Et"] + Et_i,
         Ez=current["Ez"] + Ez_i, Br=current["Br"] + Br_i,
         Bt=current["Bt"] + Bt_i, Bz=current["Bz"] + Bz_i)
+
+
+# ---------------------------------------------------------------------
+# Electron-bunch wrappers: the reference's historical API
+# (/root/reference/fbpic/lpa_utils/bunch.py:550-830), kept so existing
+# user scripts run unchanged.  Each is add_particle_bunch* with
+# q = -e, m = m_e; `Q`/`Q_tot` is the total physical charge.
+# ---------------------------------------------------------------------
+
+def add_elec_bunch(sim, gamma0, n_e, p_zmin, p_zmax, p_rmin, p_rmax,
+                   p_nr=2, p_nz=2, p_nt=4, dens_func=None, boost=None,
+                   direction="forward", z_injection_plane=None):
+    """Flat-top relativistic electron bunch (reference bunch.py:550)."""
+    return add_particle_bunch(
+        sim, -e, m_e, gamma0, n_e, p_zmin, p_zmax, p_rmin, p_rmax,
+        p_nr=p_nr, p_nz=p_nz, p_nt=p_nt, dens_func=dens_func,
+        boost=boost, direction=direction,
+        z_injection_plane=z_injection_plane)
+
+
+def add_elec_bunch_gaussian(sim, sig_r, sig_z, n_emit, gamma0,
+                            sig_gamma, Q, N, tf=0.0, zf=0.0, boost=None,
+                            save_beam=None, z_injection_plane=None,
+                            symmetrize=False):
+    """Gaussian electron bunch focused at (tf, zf)
+    (reference bunch.py:619)."""
+    n_physical_particles = Q / e
+    return add_particle_bunch_gaussian(
+        sim, -e, m_e, sig_r, sig_z, n_emit, gamma0, sig_gamma,
+        n_physical_particles, N, tf=tf, zf=zf, boost=boost,
+        save_beam=save_beam, z_injection_plane=z_injection_plane,
+        symmetrize=symmetrize)
+
+
+def add_elec_bunch_file(sim, filename, Q_tot, z_off=0.0, boost=None,
+                        direction="forward", z_injection_plane=None):
+    """Electron bunch from a text file (reference bunch.py:696)."""
+    return add_particle_bunch_file(
+        sim, -e, m_e, filename, Q_tot / e, z_off=z_off, boost=boost,
+        z_injection_plane=z_injection_plane)
+
+
+def add_elec_bunch_openPMD(sim, ts_path, z_off=0.0, species=None,
+                           select=None, iteration=None, boost=None,
+                           z_injection_plane=None):
+    """Electron bunch from an openPMD time series
+    (reference bunch.py:742)."""
+    return add_particle_bunch_openPMD(
+        sim, -e, m_e, ts_path, z_off=z_off, species=species,
+        select=select, iteration=iteration, boost=boost,
+        z_injection_plane=z_injection_plane)
+
+
+def add_elec_bunch_from_arrays(sim, x, y, z, ux, uy, uz, w, boost=None,
+                               direction="forward",
+                               z_injection_plane=None):
+    """Electron bunch from numpy arrays (reference bunch.py:796)."""
+    if direction == "backward":
+        uz = -np.asarray(uz)
+    return add_particle_bunch_from_arrays(
+        sim, -e, m_e, x, y, z, ux, uy, uz, w, boost=boost,
+        z_injection_plane=z_injection_plane)
