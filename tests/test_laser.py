@@ -215,3 +215,75 @@ def test_profile_injection_parity(profile_name):
     moved = c1 - c0
     assert abs(moved - N * c * dt) < 1.2 * zmax / Nz, (
         profile_name, moved, N * c * dt)
+
+
+def test_custom_spectrum_injection_parity(tmp_path):
+    """CustomSpectrumLaser: a Gaussian spectrum file must inject the
+    (transform-limited) pulse matching the profile's own E_field."""
+    from fbpic_tpu.lpa_utils.laser import CustomSpectrumLaser
+    lam0 = 0.8e-6
+    lam = np.linspace(0.7e-6, 0.9e-6, 200)
+    om = 2 * np.pi * c / lam
+    om0 = 2 * np.pi * c / lam0
+    # Wide enough that the transform-limited pulse (~5 fs) fits the box
+    sig_om = 0.05 * om0
+    inten = np.exp(-((om - om0) / sig_om) ** 2)
+    fname = tmp_path / "spectrum.csv"
+    np.savetxt(fname, np.stack([lam, inten], axis=1))
+
+    profile = CustomSpectrumLaser(a0=a0, waist=6.e-6, z0=z0,
+                                  spectrum_file=str(fname))
+    nm = 2
+    sim = Simulation(Nz, zmax, Nr, rmax, nm, dt, random_seed=0,
+                     verbose_level=0)
+    add_laser_pulse(sim, profile)
+    Ex_grid = _physical_Ex(sim, nm)
+    z = sim.grid_z()
+    r = (np.arange(Nr) + 0.5) * (rmax / Nr)
+    Z, R = np.meshgrid(z, r, indexing="ij")
+    Ex_th, _ = profile.E_field(R, np.zeros_like(R), Z, 0.0)
+    scale = np.abs(Ex_th).max()
+    assert scale > 0
+    assert np.abs(Ex_grid - Ex_th).max() < 0.04 * scale
+
+
+def test_lasy_file_injection_parity(tmp_path):
+    """FromLasyFileLaser: a synthesized cylindrical lasy (openPMD)
+    envelope file must inject the field it describes."""
+    import h5py
+    from fbpic_tpu.lpa_utils.laser import FromLasyFileLaser
+
+    lam0 = 0.8e-6
+    om0 = 2 * np.pi * c / lam0
+    tau_l, w_l = 8.e-15, 6.e-6
+    E0 = 1.e9
+    # Envelope on a (t, r) grid, thetaMode geometry (mode 0)
+    t_ax = np.linspace(-40.e-15, 40.e-15, 160)
+    r_ax = np.linspace(0., 20.e-6, 80)
+    T, R = np.meshgrid(t_ax, r_ax, indexing="ij")
+    env = E0 * np.exp(-T**2 / tau_l**2 - R**2 / w_l**2)
+    fname = tmp_path / "lasy_pulse.h5"
+    with h5py.File(fname, "w") as f:
+        g = f.create_group("data/0/meshes")
+        ds = g.create_dataset("laserEnvelope",
+                              data=env[None, :, :].astype(complex))
+        ds.attrs["angularFrequency"] = om0
+        ds.attrs["gridSpacing"] = np.array(
+            [t_ax[1] - t_ax[0], r_ax[1] - r_ax[0]])
+        ds.attrs["gridGlobalOffset"] = np.array([t_ax[0], r_ax[0]])
+        ds.attrs["geometry"] = np.bytes_(b"thetaMode")
+
+    # Peak where t_ret = t - t_start - z/c = 0 at t=0  =>  z = -c t_start
+    profile = FromLasyFileLaser(str(fname), t_start=-z0 / c)
+    nm = 2
+    sim = Simulation(Nz, zmax, Nr, rmax, nm, dt, random_seed=0,
+                     verbose_level=0)
+    add_laser_pulse(sim, profile)
+    Ex_grid = _physical_Ex(sim, nm)
+    z = sim.grid_z()
+    r = (np.arange(Nr) + 0.5) * (rmax / Nr)
+    Z, R2 = np.meshgrid(z, r, indexing="ij")
+    Ex_th, _ = profile.E_field(R2, np.zeros_like(R2), Z, 0.0)
+    scale = np.abs(Ex_th).max()
+    assert scale > 0
+    assert np.abs(Ex_grid - Ex_th).max() < 0.05 * scale
