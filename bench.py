@@ -95,5 +95,29 @@ def main():
     print(json.dumps(result))
 
 
+def _arm_watchdog(seconds=1500):
+    """Emit an error JSON line and exit if the run wedges.
+
+    The tunneled TPU backend can hang indefinitely inside device
+    initialization when the tunnel is down (observed: jax.devices()
+    blocked > 6 h); the watchdog turns that into a recorded artifact
+    instead of a silent hang."""
+    import os
+    import signal
+
+    def _fire(sig, frm):
+        print(json.dumps({
+            "metric": "lwfa_ns_per_particle_step", "value": None,
+            "unit": "ns/particle/step", "vs_baseline": 0.0,
+            "error": f"benchmark wedged for {seconds}s "
+                     f"(TPU tunnel down / device init hang)",
+        }), flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+
+
 if __name__ == "__main__":
+    _arm_watchdog()
     main()
