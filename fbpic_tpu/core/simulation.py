@@ -549,11 +549,26 @@ class Simulation:
             else:
                 sort_K = 0
 
+        # Resident column-padded layout (step._resident_indices): the
+        # species' storage IS the flattened (Nz, K) sort layout, so the
+        # step gathers fields with an MXU contraction instead of the
+        # serialized per-index gather and sorts only once per step.
+        # Requires capacity == Nz * sort_K; only worth it when that is
+        # not wildly larger than the ring the species would need anyway.
+        resident = False
+        if (int(sort_K) > 0 and not is_tracer and self.use_fused_deposit
+                and self.config.particle_shape == "linear"):
+            cap_resident = self.config.Nz * int(sort_K)
+            if cap_resident >= (capacity or 0):
+                capacity = cap_resident
+                resident = True
+
         sc = SpeciesConfig(
             q=q, m=m, particle_shape=self.config.particle_shape,
             is_tracer=is_tracer,
             name=name or f"species{len(self.species_configs)}",
             sort_K=int(sort_K),
+            resident=resident,
         )
         pstate = make_particle_state(x, y, z, ux, uy, uz, inv_gamma, w,
                                      capacity=capacity)

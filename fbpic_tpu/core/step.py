@@ -24,12 +24,15 @@ from ..fields import psatd_push as ps
 from ..particles.state import ParticleState, SpeciesConfig
 from ..utils.complex_arr import CArr
 from ..particles import push as pp
-from ..particles.gather import gather_fields_linear, gather_fields_cubic
+from ..particles.gather import (
+    gather_fields_linear, gather_fields_cubic, gather_fields_sorted,
+)
 from ..particles.deposit import (
     deposit_rho_linear, deposit_J_linear, deposit_rho_cubic, deposit_J_cubic,
 )
 from ..particles.sorted_deposit import (
     build_column_sort, deposit_rho_sorted, deposit_J_sorted,
+    deposit_rho_J_sorted,
 )
 from .state import SimState
 
@@ -760,6 +763,42 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
 # The step
 # ---------------------------------------------------------------------
 
+def _resident_indices(config, species_configs, options, halo):
+    """Species indices that run the RESIDENT column-padded layout.
+
+    Resident species live in the (Nz, K)-flattened layout: the step
+    sorts them ONCE at its start, then gathers fields (MXU contraction,
+    particles/gather.py:gather_fields_sorted), pushes, and deposits all
+    in padded form, and the re-flattened padded arrays become the next
+    state -- the per-index flat gather (~8 ms at production size) and
+    the mid-step re-sort disappear.  This is the roadmap mechanism from
+    VERDICT r2 #2 ("keep particles resident in the column-padded
+    layout").
+
+    Constraints (all static): single chip, fused deposition, linear
+    shapes, both half-pushes active, curl-free or no correction, no
+    elementary processes anywhere (their ring appends would have to
+    reshuffle the padded layout mid-step), and the species' capacity
+    must equal Nz * sort_K so the padded view flattens back in place.
+    """
+    if halo is not None or not options.fused_deposit:
+        return frozenset()
+    if not (options.move_positions and options.move_momenta):
+        return frozenset()
+    if (options.correct_currents
+            and config.current_correction == "cross-deposition"):
+        return frozenset()
+    if any(sc.ionizer is not None or sc.compton is not None
+           for sc in species_configs):
+        return frozenset()
+    out = set()
+    for i, sc in enumerate(species_configs):
+        if (sc.resident and sc.sort_K > 0 and not sc.is_tracer
+                and sc.particle_shape == "linear"):
+            out.add(i)
+    return frozenset(out)
+
+
 def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                  halo=None):
     """Build the pure (unjitted) single-step function step(state, aux).
@@ -769,6 +808,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
     of partial-interp CArr -- used by the z-domain decomposition.
     """
     species_configs = tuple(species_configs)
+    resident_idx = _resident_indices(config, species_configs, options,
+                                     halo)
 
     def step(state: SimState, aux: FieldAux, inj_auxes=(),
              ion_auxes=(), antenna_series=(), comp_auxes=()) -> SimState:
@@ -818,6 +859,14 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                               if halo is not None else None)
                         ibounds = (halo.ownership_bounds(zmin)
                                    if halo is not None else None)
+                        if ibounds is None and i in resident_idx:
+                            # Resident layout: the per-step re-sort
+                            # rewrites the storage order, so the ring
+                            # cursor no longer tracks free slots --
+                            # use the dead-slot write path (the mesh
+                            # branch) with all-inclusive bounds
+                            inf = jnp.asarray(jnp.inf, sp.z.dtype)
+                            ibounds = (-inf, inf)
                         species[i], clob = continuous_injection(
                             config, options, aux, sp, sc, inj_cfg,
                             inj_auxes[i], zmin,
@@ -843,16 +892,128 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             species = list(species)
             spect = dataclasses.replace(spect, rho_prev=rho_prev)
 
+        # --- Shared deposition bookkeeping (filled by the resident
+        # block below and/or the mid-step fused block)
+        sorts = {}
+        sort_overflow = state.sort_overflow
+        if sort_overflow is None:
+            sort_overflow = jnp.zeros((), jnp.int32)
+        fused_J, fused_rho = {}, {}
+        fused_drho = {}
+        derive_rho_next = False
+        # float32 runs: the current correction needs rho_next - rho_prev
+        # computed per particle (drho), not as a difference of grids
+        f32_mode = any(sp.x.dtype == jnp.float32 for sp in species)
+        want_drho = (f32_mode and options.correct_currents
+                     and config.current_correction == "curl-free"
+                     and not config.use_comoving)
+
+        # --- RESIDENT species (see _resident_indices): ONE sort at the
+        # start-of-step positions, then gather (MXU contraction), push
+        # and the fused deposition all in the column-padded layout; the
+        # re-flattened padded arrays become the new state.  This
+        # removes the serialized per-index field gather (~8 ms at
+        # production size) and the separate mid-step sort.
+        for i in sorted(resident_idx):
+            sp, sc = species[i], species_configs[i]
+            K = sc.sort_K
+            assert sp.w.shape[0] == config.Nz * K, (
+                "resident species capacity must equal Nz * sort_K "
+                "(Simulation sizes it; manual sort_K changes must "
+                "clear SpeciesConfig.resident)")
+            has_comp = sp.comp_x is not None
+            payload = [sp.x, sp.y, sp.z, sp.w, sp.ux, sp.uy, sp.uz,
+                       sp.inv_gamma]
+            if has_comp:
+                payload += [sp.comp_x, sp.comp_y, sp.comp_z]
+            sort = build_column_sort(sp.z, sp.w, zmin, 1.0 / config.dz,
+                                     config.Nz, K, payload=tuple(payload))
+            # In resident mode a column-K overflow LOSES the excess
+            # particles from the state (not just from one deposit);
+            # the in-jit counter below makes that loud and auto-bumps K
+            sort_overflow = sort_overflow + sort["n_over"]
+            pad = sort["padded"]
+            valid = sort["valid"]
+            comp_kw = ({"comp_x": pad[8], "comp_y": pad[9],
+                        "comp_z": pad[10]} if has_comp else {})
+            psp = dataclasses.replace(
+                sp, x=pad[0], y=pad[1], z=pad[2],
+                w=jnp.where(valid, pad[3], jnp.zeros((), pad[3].dtype)),
+                ux=pad[4], uy=pad[5], uz=pad[6], inv_gamma=pad[7],
+                **comp_kw)
+            # Gather E,B as an MXU contraction on the padded layout
+            EB = gather_fields_sorted(
+                psp.x, psp.y, psp.z, valid, interp, options.rmax_gather,
+                1.0 / config.dz, zmin, config.Nz,
+                1.0 / config.dr, 0.0, config.Nr, comp=_comp_of(psp))
+            E, B = EB[:3], EB[3:]
+            if options.external_fields:
+                fields = dict(Ex=E[0], Ey=E[1], Ez=E[2],
+                              Bx=B[0], By=B[1], Bz=B[2])
+                for ext in options.external_fields:
+                    if ext.applies_to(i):
+                        fields = ext.apply(fields, psp.x, psp.y, psp.z,
+                                           state.time)
+                E = (fields["Ex"], fields["Ey"], fields["Ez"])
+                B = (fields["Bx"], fields["By"], fields["Bz"])
+            if sc.q != 0:
+                z_plane = None
+                if sc.ballistic_z0 is not None:
+                    z_plane = (sc.ballistic_z0
+                               + sc.ballistic_v * (state.time + 0.5 * dt))
+                ux, uy, uz, inv_gamma = pp.push_p(psp, E, B, sc.q, sc.m,
+                                                  dt, z_plane=z_plane)
+                psp = dataclasses.replace(psp, ux=ux, uy=uy, uz=uz,
+                                          inv_gamma=inv_gamma)
+            psp = half_push_x(config, options, psp, zmin)
+            # Fused J + rho/d(rho) deposition on the pushed padded
+            # arrays (sort_at_start: the sort is half a push behind,
+            # so every z-offset window widens by one cell each way)
+            derive_rho_next = want_drho
+            pad_dep = [psp.x, psp.y, psp.z, psp.w,
+                       psp.ux, psp.uy, psp.uz, psp.inv_gamma]
+            if has_comp:
+                pad_dep += [psp.comp_x, psp.comp_y, psp.comp_z]
+            sort_dep = dict(valid=valid, n_over=sort["n_over"],
+                            padded=pad_dep)
+            out = deposit_rho_J_sorted(
+                sort_dep, psp.x, psp.y, psp.z, psp.w, sc.q,
+                psp.ux, psp.uy, psp.uz, psp.inv_gamma, 0.5 * config.dt,
+                config.Nm, 1.0 / config.dz, zmin, config.Nz,
+                1.0 / config.dr, 0.0, config.Nr, aux.ruyten_linear,
+                zfold=_zfold(config), comp=_comp_of(psp),
+                with_drho=want_drho, with_rho=not want_drho,
+                sort_at_start=True)
+            fused_J[i] = out[:3]
+            fused_rho[i] = out[3]
+            if want_drho:
+                fused_drho[i] = out[4]
+            psp = half_push_x(config, options, psp, zmin)
+            # Flatten back: the sorted order becomes the storage order.
+            # Invalid slots hold duplicates of neighboring live slots
+            # (the window slices overlap) -- masked dead via w = 0.
+            names = ["x", "y", "z", "ux", "uy", "uz", "inv_gamma"]
+            if has_comp:
+                names += ["comp_x", "comp_y", "comp_z"]
+            flat = {n: getattr(psp, n).reshape(-1) for n in names}
+            flat["w"] = jnp.where(
+                valid, psp.w, jnp.zeros((), psp.w.dtype)).reshape(-1)
+            species[i] = dataclasses.replace(sp, **flat)
+
         # --- Gather + momentum push + first half position push
         gathered_EB = {}
         for i, (sp, sc) in enumerate(zip(species, species_configs)):
+            if i in resident_idx:
+                continue
             sp, E, B = gather_and_push(config, options, sp, sc, interp,
                                        zmin, dt, time=state.time,
                                        species_index=i)
             species[i] = sp
             if sc.ionizer is not None:
                 gathered_EB[i] = (E, B)
-        species = [half_push_x(config, options, sp, zmin) for sp in species]
+        species = [sp if i in resident_idx
+                   else half_push_x(config, options, sp, zmin)
+                   for i, sp in enumerate(species)]
 
         # --- Elementary processes at t = (n+1/2) dt: Compton scattering
         # (reference: main.py:499-503).  On a mesh, Monte-Carlo streams
@@ -902,10 +1063,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # --- Column sort for the dense (MXU) deposition path: built
         # once per step after all particle creation, reused by the J
         # and rho_next deposits (positions drift <= dz/2 from here).
-        sorts = {}
-        sort_overflow = state.sort_overflow
-        if sort_overflow is None:
-            sort_overflow = jnp.zeros((), jnp.int32)
+        # (Resident species already sorted/deposited above.)
         # The fused path consumes the plan at the sort-time positions,
         # so the particle data can ride THROUGH the sort (payload plan
         # -- the fast path; see build_column_sort).  Non-fused sorted
@@ -921,6 +1079,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             # without fusion they keep the 16-point scatter.
             shape_ok = (sc.particle_shape == "linear"
                         or (sc.particle_shape == "cubic" and will_fuse))
+            if i in resident_idx:
+                continue
             if sc.sort_K > 0 and shape_ok and not sc.is_tracer:
                 sp = species[i]
                 # Payload prefix convention of _padded_arrays:
@@ -951,23 +1111,14 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # (n+1/2) positions and rho at the (n+1) positions from ONE
         # padded gather + MXU one-hot contractions per species.
         # Skipped for cross-deposition (it deposits between the
-        # half-pushes).
-        fused_J = fused_rho = None
-        fused_drho = {}
-        derive_rho_next = False
-        # float32 runs: the current correction needs rho_next - rho_prev
-        # computed per particle (drho), not as a difference of grids
-        f32_mode = any(sp.x.dtype == jnp.float32 for sp in species)
-        want_drho = (f32_mode and options.correct_currents
-                     and config.current_correction == "curl-free"
-                     and not config.use_comoving)
+        # half-pushes).  (fused_J / fused_rho / fused_drho already
+        # carry the resident species' deposits.)
         if (options.fused_deposit and sorts and options.move_positions
                 and not (options.correct_currents
                          and config.current_correction
                          == "cross-deposition")):
             from ..particles.sorted_deposit import (
                 deposit_rho_J_sorted, deposit_rho_J_sorted_cubic)
-            fused_J, fused_rho = {}, {}
             # With drho in hand, rho_next can be DERIVED as
             # rho_prev + drho (exact for the correction's and
             # diagnostics' purposes) -- skipping one whole MXU
@@ -1026,8 +1177,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         scatter_rho1 = {}
         if want_drho:
             for i, (sp, sc) in enumerate(zip(species, species_configs)):
-                if sc.is_tracer or (sorts is not None and i in sorts
-                                    and fused_J is not None):
+                if sc.is_tracer or i in fused_drho:
                     continue
                 w_eff = sp.w
                 if sp.ionization_level is not None:
@@ -1045,8 +1195,10 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                     1.0 / config.dr, 0.0, config.Nr, ruy,
                     zfold=_zfold(config), comp=_comp_of(sp))
 
-        # --- Second half position push
-        species = [half_push_x(config, options, sp, zmin) for sp in species]
+        # --- Second half position push (resident species already pushed)
+        species = [sp if i in resident_idx
+                   else half_push_x(config, options, sp, zmin)
+                   for i, sp in enumerate(species)]
 
         # --- float32: directly-deposited d(rho) for the correction
         drho = None

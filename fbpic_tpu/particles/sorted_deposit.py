@@ -429,7 +429,8 @@ def _dense_deposit_diff(geom1, geom2, ph1, ph2, wj, meta, ruyten, Nz,
 def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
                          dt_half, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
                          ruyten_linear, zfold="periodic", comp=None,
-                         with_drho=False, with_rho=True):
+                         with_drho=False, with_rho=True,
+                         sort_at_start=False):
     """Fused J (at the current positions) + rho (at the positions one
     half push later) from ONE padded gather.
 
@@ -442,8 +443,21 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     formula, so rho sees bit-identical positions to the canonical
     second half-push of the step.
 
+    sort_at_start: the sort plan was built HALF A PUSH BEFORE the
+    current (J) positions -- the resident-layout step sorts once at
+    the start of the step (positions x_n) and half-pushes in padded
+    layout, so by J time positions have drifted up to c*dt/2 from the
+    sort columns; all z offset windows widen by one cell each way.
+
     Returns (Jr, Jt, Jz, rho) raw grids (not divided by cell volume).
     """
+    # z-offset windows relative to the sort column (see
+    # _padded_geometry): exact-sort J offsets are {-1, 0}; a half-push
+    # drift adds +-1 (the +-0.5-cell drift can cross a boundary, and
+    # f32 rounding at the exact half-cell edge adds one more knife
+    # edge each way)
+    dj_lo, dj_hi = (-2, 1) if sort_at_start else (-1, 0)
+    dr_lo, dr_hi = (-3, 2) if sort_at_start else (-2, 1)
     if comp is not None:
         (x, y, z, w, ux, uy, uz, inv_gamma,
          cx, cy, cz) = _padded_arrays(
@@ -453,13 +467,13 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
         x, y, z, w, ux, uy, uz, inv_gamma = _padded_arrays(
             sort, [x, y, z, w, ux, uy, uz, inv_gamma])
 
-    # --- J at the current (n+1/2) positions.  The sort is built at
-    # exactly these positions, so in-range offsets are {-1, 0}; edge
-    # stragglers (clamped columns, inside the damped guard regions)
-    # are clipped into the window like the scatter path clips rows.
+    # --- J at the current (n+1/2) positions.  With an exact-position
+    # sort, in-range offsets are {-1, 0}; edge stragglers (clamped
+    # columns, inside the damped guard regions) are clipped into the
+    # window like the scatter path clips rows.
     geom = _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin,
                             Nr, ruyten_linear, zfold,
-                            delta_lo=-1, delta_hi=0, comp=comp)
+                            delta_lo=dj_lo, delta_hi=dj_hi, comp=comp)
     cos, sin = geom["cos"], geom["sin"]
     cos_m, sin_m = _mode_phases(cos, sin, Nm)
     wj = q * w
@@ -473,7 +487,7 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     meta = _channel_meta(Nm, 3, [-1.0, -1.0, +1.0], x.dtype)
     if not with_drho:
         out = _dense_deposit(geom, channels, meta, Nz, Nr, zfold,
-                             delta_lo=-1, delta_hi=0)
+                             delta_lo=dj_lo, delta_hi=dj_hi)
         Jr, Jt, Jz = _unpack_channels(out, 3, Nm)
 
     # --- rho at the half-pushed (n+1) positions.  Skipped entirely
@@ -488,14 +502,14 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
         z2 = z + chdt * inv_gamma * uz
         geom2 = _padded_geometry(sort, x2, y2, z2, invdz, zmin, Nz,
                                  invdr, rmin, Nr, ruyten_linear, zfold,
-                                 delta_lo=-2, delta_hi=1, comp=comp)
+                                 delta_lo=dr_lo, delta_hi=dr_hi, comp=comp)
         cos_m2, sin_m2 = _mode_phases(geom2["cos"], geom2["sin"], Nm)
         rho_modes = CArr(jnp.stack([wj * cm for cm in cos_m2]),
                          jnp.stack([wj * sm for sm in sin_m2]))
         channels2 = _pack_padded([rho_modes], Nm)
         meta2 = _channel_meta(Nm, 1, [+1.0], x.dtype)
         out2 = _dense_deposit(geom2, channels2, meta2, Nz, Nr, zfold,
-                              delta_lo=-2, delta_hi=1)
+                              delta_lo=dr_lo, delta_hi=dr_hi)
         rho = _unpack_channels(out2, 1, Nm)[0]
     if not with_drho:
         return Jr, Jt, Jz, rho
@@ -514,8 +528,11 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     hr = chdt * inv_gamma * vr * invdr
 
     s_mid = geom["s_sub"]          # comp-folded, ok-masked sub-cell z
-    delta_mid = geom["delta"]      # clipped to J's [-1, 0] window
+    delta_mid = geom["delta"]      # clipped to J's [dj_lo, dj_hi] window
     ok = geom["ok"]
+    # drho offset blocks: d = delta_mid + shift with shift in {-1,0,1},
+    # so blocks cover o in [dj_lo - 1, dj_hi + 2]
+    o_range = range(dj_lo - 1, dj_hi + 3)
 
     def z_blocks(s_shift):
         """Offset-block z weights for sub-cell position s_mid+s_shift,
@@ -526,7 +543,7 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
         d = delta_mid + shift.astype(jnp.int32)
         s0 = (1.0 - s) * ok
         s1 = s * ok
-        return [s0 * (d == o) + s1 * (d == o - 1) for o in range(-2, 3)]
+        return [s0 * (d == o) + s1 * (d == o - 1) for o in o_range]
 
     zw_a = z_blocks(-hz)
     zw_b = z_blocks(hz)
@@ -557,22 +574,23 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     # ONE contraction for J + drho: they share the mid-position
     # one-hot S, and merging fills the MXU lanes far better than a
     # separate 40-channel drho pass
-    V_D = _build_V_span_diff(span, ph_a, ph_b, wj, meta2_, ruyten_linear)
+    V_D = _build_V_span_diff(span, ph_a, ph_b, wj, meta2_, ruyten_linear,
+                             n_blocks=len(o_range))
     Nrb = Nr + 2 * NGUARD
     S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=x.dtype)
     V_J = _build_V(geom, channels, meta)
     W_J = V_J.shape[2]
     out_all = _contract(S, jnp.concatenate([V_J, V_D], axis=2))
-    out_J = _reassemble(out_all[..., :W_J], Nz, Nr, zfold, -1, 0,
+    out_J = _reassemble(out_all[..., :W_J], Nz, Nr, zfold, dj_lo, dj_hi,
                         channels.shape[2])
     Jr, Jt, Jz = _unpack_channels(out_J, 3, Nm)
-    out_D = _reassemble(out_all[..., W_J:], Nz, Nr, zfold, -2, 1,
-                        ph_a.shape[2])
+    out_D = _reassemble(out_all[..., W_J:], Nz, Nr, zfold,
+                        dj_lo - 1, dj_hi + 1, ph_a.shape[2])
     drho = _unpack_channels(out_D, 1, Nm)[0]
     return Jr, Jt, Jz, rho, drho
 
 
-def _build_V_span_diff(span, ph_a, ph_b, wj, meta, ruyten):
+def _build_V_span_diff(span, ph_a, ph_b, wj, meta, ruyten, n_blocks=5):
     """V of the telescoped difference deposit (see deposit_rho_J_sorted)."""
     mode0_mask = meta["is_mode0"]
     flips = meta["flip"]
@@ -596,7 +614,7 @@ def _build_V_span_diff(span, ph_a, ph_b, wj, meta, ruyten):
     wj3 = wj[:, :, None]
 
     blocks = []
-    for o in range(5):   # zw blocks cover offsets -2..2
+    for o in range(n_blocks):
         zw_a = span["zw_a"][o][:, :, None]
         zw_b = span["zw_b"][o][:, :, None]
         dzw = zw_b - zw_a

@@ -37,6 +37,11 @@ class SpeciesConfig:
     # Sorted dense deposition: static per-column slot capacity K
     # (0 = use the scatter deposition path).  See sorted_deposit.py.
     sort_K: int = 0
+    # Resident column-padded layout (capacity == Nz * sort_K; the step
+    # sorts once at its start and keeps the species in padded form all
+    # step -- field gather becomes an MXU contraction).  Set by
+    # Simulation when it sizes the capacity; see step._resident_indices.
+    resident: bool = False
 
 
 @pytree_dataclass

@@ -122,6 +122,9 @@ def main():
     from fbpic_tpu.utils.complex_arr import CArr
 
     on_cpu = len(sys.argv) > 1 and sys.argv[1] == "cpu"
+    # 'time' mode: skip the parity reference (the serialized 1.29M-index
+    # gather compiles for ~8 min on the axon tunnel) and run timings only
+    time_only = len(sys.argv) > 1 and sys.argv[1] == "time"
     if on_cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -158,6 +161,39 @@ def main():
     xp, yp, zp, wp = sort["padded"]
     F = _stack_interp_channels(interp, Nm)
 
+    if not time_only:
+        _run_parity(sort, xp, yp, zp, F, interp, dz, dr, zmin, Nz, Nr,
+                    Nm, gather_fields_linear, np, jnp)
+    if on_cpu:
+        print("CPU parity OK (skip timing)")
+        return
+
+    # slope timing
+    def time_fn(f, *args):
+        jf = jax.jit(f)
+        jax.block_until_ready(jf(*args))
+        best = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jf(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    t_idx = time_fn(lambda: gather_fields_linear(
+        xj, yj, zj, interp, rmax_gather=Nr * dr * 2, invdz=1 / dz,
+        zmin=zmin, Nz=Nz, invdr=1 / dr, rmin=0.0, Nr=Nr))
+    print(f"per-index gather (964k flat): {t_idx:.2f} ms", flush=True)
+    for prec in ("HIGHEST", "HIGH", "DEFAULT"):
+        import jax.lax as lax
+        t_con = time_fn(lambda p=getattr(lax.Precision, prec):
+                        gather_fields_sorted(
+                            xp, yp, zp, sort["valid"], F, 1 / dz, zmin,
+                            Nz, 1 / dr, 0.0, Nr, Nm, precision=p))
+        print(f"contraction ({prec}): {t_con:.2f} ms", flush=True)
+
+
+def _run_parity(sort, xp, yp, zp, F, interp, dz, dr, zmin, Nz, Nr, Nm,
+                gather_fields_linear, np, jnp):
     out, cos_p, sin_p = gather_fields_sorted(
         xp, yp, zp, sort["valid"], F, 1 / dz, zmin, Nz, 1 / dr, 0.0,
         Nr, Nm)
@@ -184,33 +220,6 @@ def main():
     print(f"parity vs gather_fields_linear: {err/scale:.2e} "
           f"(scale {scale:.2e})")
     assert err < 2e-5 * scale, "contraction gather mismatch"
-
-    if on_cpu:
-        print("CPU parity OK (skip timing)")
-        return
-
-    # slope timing
-    def time_fn(f, *args):
-        jf = jax.jit(f)
-        jax.block_until_ready(jf(*args))
-        best = 1e9
-        for _ in range(5):
-            t0 = time.perf_counter()
-            jax.block_until_ready(jf(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best * 1e3
-
-    t_idx = time_fn(lambda: gather_fields_linear(
-        xj, yj, zj, interp, rmax_gather=Nr * dr * 2, invdz=1 / dz,
-        zmin=zmin, Nz=Nz, invdr=1 / dr, rmin=0.0, Nr=Nr))
-    for prec in ("HIGHEST", "HIGH"):
-        import jax.lax as lax
-        t_con = time_fn(lambda p=getattr(lax.Precision, prec):
-                        gather_fields_sorted(
-                            xp, yp, zp, sort["valid"], F, 1 / dz, zmin,
-                            Nz, 1 / dr, 0.0, Nr, Nm, precision=p))
-        print(f"per-index gather: {t_idx:.2f} ms | contraction "
-              f"({prec}): {t_con:.2f} ms")
 
 
 if __name__ == "__main__":
