@@ -939,14 +939,25 @@ class Simulation:
         n_sort, n_ring = jax.device_get(
             (state.sort_overflow, state.ring_overwrite))
         if n_sort is not None and int(n_sort) > 0:
+            from ..particles.state import pad_particle_state
             bumped = []
+            new_species = list(self.state.species)
             for i, sc in enumerate(self.species_configs):
                 if sc.sort_K <= 0:
                     continue
                 new_K = int(-(-3 * sc.sort_K // 2 // 128) * 128)
                 self.species_configs[i] = dataclasses.replace(
                     sc, sort_K=new_K)
+                if sc.resident:
+                    # Residency requires capacity == Nz * sort_K:
+                    # reallocate the arrays with dead-slot padding so
+                    # the bumped K keeps the invariant instead of
+                    # crashing the next chunk on the step's assert
+                    new_species[i] = pad_particle_state(
+                        new_species[i], self.config.Nz * new_K)
                 bumped.append(f"{sc.name}: {sc.sort_K}->{new_K}")
+            self.state = dataclasses.replace(
+                self.state, species=tuple(new_species))
             self._step_fns.clear()
             warnings.warn(
                 f"{int(n_sort)} particle-step(s) exceeded a z column's "

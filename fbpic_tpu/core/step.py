@@ -32,7 +32,7 @@ from ..particles.deposit import (
 )
 from ..particles.sorted_deposit import (
     build_column_sort, deposit_rho_sorted, deposit_J_sorted,
-    deposit_rho_J_sorted,
+    deposit_rho_J_sorted, deposit_rho_J_sorted_cubic,
 )
 from .state import SimState
 
@@ -922,10 +922,18 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 "(Simulation sizes it; manual sort_K changes must "
                 "clear SpeciesConfig.resident)")
             has_comp = sp.comp_x is not None
+            has_ids = sp.ids is not None
             payload = [sp.x, sp.y, sp.z, sp.w, sp.ux, sp.uy, sp.uz,
                        sp.inv_gamma]
             if has_comp:
                 payload += [sp.comp_x, sp.comp_y, sp.comp_z]
+            # Tracking ids ride THROUGH the sort (integer channels are
+            # grouped into their own gather by build_column_sort) so
+            # the re-flattened storage order keeps id<->particle
+            # pairing intact (advisor r3: ids must follow the permute)
+            n_float = len(payload)
+            if has_ids:
+                payload += [sp.ids, sp.ids_hi]
             sort = build_column_sort(sp.z, sp.w, zmin, 1.0 / config.dz,
                                      config.Nz, K, payload=tuple(payload))
             # In resident mode a column-K overflow LOSES the excess
@@ -998,6 +1006,9 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             flat = {n: getattr(psp, n).reshape(-1) for n in names}
             flat["w"] = jnp.where(
                 valid, psp.w, jnp.zeros((), psp.w.dtype)).reshape(-1)
+            if has_ids:
+                flat["ids"] = pad[n_float].reshape(-1)
+                flat["ids_hi"] = pad[n_float + 1].reshape(-1)
             species[i] = dataclasses.replace(sp, **flat)
 
         # --- Gather + momentum push + first half position push
@@ -1117,8 +1128,6 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 and not (options.correct_currents
                          and config.current_correction
                          == "cross-deposition")):
-            from ..particles.sorted_deposit import (
-                deposit_rho_J_sorted, deposit_rho_J_sorted_cubic)
             # With drho in hand, rho_next can be DERIVED as
             # rho_prev + drho (exact for the correction's and
             # diagnostics' purposes) -- skipping one whole MXU

@@ -122,21 +122,32 @@ def build_column_sort(z, w, zmin, invdz, Nz, K, payload=None):
     # axis-0 stack is a contiguous concatenation.  K dead pad columns
     # keep every window slice in bounds (a clamped start would
     # silently misalign the window against `valid`).
-    D = jnp.stack(outs[1:], axis=0)                       # (C, Np)
-    D = jnp.concatenate([D, jnp.zeros((C, K), D.dtype)], axis=1)
-    # One explicit XLA gather of (C, K) contiguous blocks.  This exact
-    # formulation matters: vmap(dynamic_slice) lowers to a serialized
-    # while loop (~7.4 ms at production size) and a row gather
-    # flat[pos] pays the ~6.6 ns/index scalar cost (~8.2 ms); the
-    # big-slice gather moves whole windows (~1.5 ms).
+    # Channels are grouped by dtype so integer payloads (tracking ids,
+    # ionization levels) ride the same sort: each group pays one
+    # big-slice gather; the float group is the production one.
+    chans = outs[1:]
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2), collapsed_slice_dims=(),
         start_index_map=(1,))
-    padded = jax.lax.gather(
-        D, starts[:Nz, None], dn, slice_sizes=(C, K),
-        mode=jax.lax.GatherScatterMode.CLIP)              # (Nz, C, K)
-    return dict(valid=valid, n_over=n_over,
-                padded=[padded[:, i, :] for i in range(C)])
+    groups = {}
+    for ci, arr in enumerate(chans):
+        groups.setdefault(jnp.dtype(arr.dtype), []).append(ci)
+    padded_out = [None] * C
+    for idxs in groups.values():
+        Cg = len(idxs)
+        D = jnp.stack([chans[ci] for ci in idxs], axis=0)  # (Cg, Np)
+        D = jnp.concatenate([D, jnp.zeros((Cg, K), D.dtype)], axis=1)
+        # One explicit XLA gather of (Cg, K) contiguous blocks.  This
+        # exact formulation matters: vmap(dynamic_slice) lowers to a
+        # serialized while loop (~7.4 ms at production size) and a row
+        # gather flat[pos] pays the ~6.6 ns/index scalar cost
+        # (~8.2 ms); the big-slice gather moves whole windows (~1.5 ms).
+        g = jax.lax.gather(
+            D, starts[:Nz, None], dn, slice_sizes=(Cg, K),
+            mode=jax.lax.GatherScatterMode.CLIP)          # (Nz, Cg, K)
+        for j, ci in enumerate(idxs):
+            padded_out[ci] = g[:, j, :]
+    return dict(valid=valid, n_over=n_over, padded=padded_out)
 
 
 def _padded_arrays(sort, arrays):

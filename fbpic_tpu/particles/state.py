@@ -85,6 +85,35 @@ def _round_capacity(n, multiple=256):
     return max(multiple, int(-(-n // multiple) * multiple))
 
 
+def pad_particle_state(sp: ParticleState, new_cap: int) -> ParticleState:
+    """Grow every per-particle array to ``new_cap`` with dead slots.
+
+    Used when a resident species' sort_K is auto-bumped: residency
+    requires capacity == Nz * sort_K (step._resident_indices), so the
+    bump must reallocate — the analog of the reference's unbounded
+    array growth (/root/reference/fbpic/particles/elementary_process/
+    cuda_numba_utils.py:60-120).  New slots are dead (w = 0,
+    inv_gamma = 1) and are harmless through push/deposit.
+    """
+    import dataclasses
+    old = sp.capacity
+    if new_cap < old:
+        raise ValueError(f"cannot shrink capacity {old} -> {new_cap}")
+    if new_cap == old:
+        return sp
+    updates = {}
+    for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w",
+                 "ionization_level", "ids", "ids_hi",
+                 "comp_x", "comp_y", "comp_z"):
+        arr = getattr(sp, name)
+        if arr is None:
+            continue
+        fill = 1.0 if name == "inv_gamma" else 0.0
+        pad = jnp.full((new_cap - old,), fill, dtype=arr.dtype)
+        updates[name] = jnp.concatenate([arr, pad])
+    return dataclasses.replace(sp, **updates)
+
+
 def make_particle_state(
     x, y, z, ux, uy, uz, inv_gamma, w,
     capacity=None, ionization_level=None, ids=None, dtype=None,

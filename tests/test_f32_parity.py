@@ -55,8 +55,13 @@ def _run(mode, out, tmp_path):
     script = tmp_path / f"run_{mode}.py"
     script.write_text(SCRIPT % {"repo": os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))})
+    # Pin the subprocess env EXPLICITLY (platform, x64, XLA flags)
+    # rather than inheriting the parent's: the verdict must not depend
+    # on what the surrounding test process happened to export.
     env = dict(os.environ)
-    env.pop("JAX_ENABLE_X64", None)
+    for var in ("JAX_ENABLE_X64", "JAX_PLATFORMS", "XLA_FLAGS",
+                "JAX_PLATFORM_NAME"):
+        env.pop(var, None)
     env["JAX_PLATFORMS"] = "cpu"
     subprocess.run([sys.executable, str(script), mode, str(out)],
                    check=True, env=env, timeout=1200)
