@@ -710,8 +710,8 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
             sp.next_id, sp.next_id_hi, n_write)
 
     updates = {}
-    if inject_bounds is None:
-        # Single chip: ring-cursor writes
+    if inject_bounds is None and not sc.resident:
+        # Single chip, stable storage order: ring-cursor writes
         for name, vals in values.items():
             updates[name] = write_ring(getattr(sp, name), sp.next_free,
                                        vals, cap, mask)
@@ -725,7 +725,10 @@ def continuous_injection(config, options, aux, sp, sc, inj_cfg, inj_aux,
     else:
         # Mesh: per-rank occupancies differ, so the REPLICATED cursor
         # would clobber live residents on whichever rank happens to be
-        # full at those slots.  Write into genuinely dead slots instead
+        # full at those slots.  Resident species (any chip count): the
+        # per-step re-flatten makes the storage order the sort order,
+        # so a ring cursor is meaningless and could land on live slots.
+        # Write into genuinely dead slots instead
         # (compact + argsort-dead-first, the same scheme migration
         # uses); injected particles beyond the dead-slot count are
         # dropped and counted as ring overwrite.
@@ -776,10 +779,17 @@ def _resident_indices(config, species_configs, options, halo):
     layout").
 
     Constraints (all static): single chip, fused deposition, linear
-    shapes, both half-pushes active, curl-free or no correction, no
-    elementary processes anywhere (their ring appends would have to
-    reshuffle the padded layout mid-step), and the species' capacity
-    must equal Nz * sort_K so the padded view flattens back in place.
+    shapes, both half-pushes active, curl-free or no correction, and
+    the species' capacity must equal Nz * sort_K so the padded view
+    flattens back in place.  A species with an elementary process
+    (ionizer / Compton), or one that is an append TARGET of another
+    species' process, stays non-resident: the resident block gathers,
+    pushes and deposits BEFORE the mid-step appends run, so a freshly
+    created particle would miss its birth-step deposit (and the ring
+    append could land on a live slot of the reshuffled layout).  Other
+    species in the same run keep the fast path -- the multi-species
+    ionization LWFA's bulk electrons stay resident as long as ionized
+    electrons are routed to their own target species.
     """
     if halo is not None or not options.fused_deposit:
         return frozenset()
@@ -788,13 +798,21 @@ def _resident_indices(config, species_configs, options, halo):
     if (options.correct_currents
             and config.current_correction == "cross-deposition"):
         return frozenset()
-    if any(sc.ionizer is not None or sc.compton is not None
-           for sc in species_configs):
-        return frozenset()
+    targets = set()
+    for sc in species_configs:
+        if sc.ionizer is not None:
+            if sc.ionizer.per_level_targets:
+                targets.update(sc.ionizer.per_level_targets)
+            else:
+                targets.add(sc.ionizer.target_index)
+        if sc.compton is not None:
+            targets.add(sc.compton.target_index)
     out = set()
     for i, sc in enumerate(species_configs):
         if (sc.resident and sc.sort_K > 0 and not sc.is_tracer
-                and sc.particle_shape == "linear"):
+                and sc.particle_shape == "linear"
+                and sc.ionizer is None and sc.compton is None
+                and i not in targets):
             out.add(i)
     return frozenset(out)
 

@@ -171,15 +171,18 @@ def _deposit_channels(geom, channel_vals, flip_parities, Nm, Nzb, Nrb,
 def _channel_meta(Nm, n_components, comp_flip_parity, dtype):
     """Per-channel metadata arrays for (component, mode, re/im) channels.
 
-    Channel layout: comp-major, then mode, then re/im:
-      channel index = ((comp * Nm) + m) * 2 + (0 for re, 1 for im)
+    Channel layout: comp-major, then mode, then re/im -- EXCEPT that the
+    mode-0 imaginary part (identically zero: sin(0*theta) = 0) is not
+    stored, so each component spans 2*Nm - 1 channels.  Dropping the
+    dead channel cuts the deposition channel matrices (the scatter
+    value tensor and the sorted-dense V) by 25% at Nm=2.
     """
     is_mode0 = []
     flip = []
     for comp in range(n_components):
         for m in range(Nm):
             msign = 1.0 if m % 2 == 0 else -1.0
-            for _part in range(2):
+            for _part in range(1 if m == 0 else 2):
                 is_mode0.append(m == 0)
                 flip.append(comp_flip_parity[comp] * msign)
     return dict(
@@ -189,12 +192,14 @@ def _channel_meta(Nm, n_components, comp_flip_parity, dtype):
 
 
 def _pack_channels(values, Nm):
-    """Pack a list of per-component CArr (Nm, Np) into (Np, C) channels."""
+    """Pack a list of per-component CArr (Nm, Np) into (Np, C) channels
+    (C = n_comp * (2*Nm - 1); the zero mode-0 imag is not stored)."""
     cols = []
     for val in values:
         for m in range(Nm):
             cols.append(val.re[m])
-            cols.append(val.im[m])
+            if m > 0:
+                cols.append(val.im[m])
     return jnp.stack(cols, axis=1)
 
 
@@ -206,8 +211,12 @@ def _unpack_channels(arr, n_components, Nm):
         res, ims = [], []
         for _m in range(Nm):
             res.append(arr[:, :, i])
-            ims.append(arr[:, :, i + 1])
-            i += 2
+            if _m == 0:
+                ims.append(jnp.zeros_like(arr[:, :, i]))
+                i += 1
+            else:
+                ims.append(arr[:, :, i + 1])
+                i += 2
         out.append(CArr(jnp.stack(res), jnp.stack(ims)))
     return out
 

@@ -33,8 +33,25 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.complex_arr import CArr
-from .deposit import NGUARD, _mode_phases, _channel_meta, _fold_guard_cells
+from .deposit import NGUARD, _mode_phases, _fold_guard_cells
 from . import sorted_deposit as sd
+
+
+def _channel_meta(Nm, n_components, comp_flip_parity, dtype):
+    """Per-channel meta for the FULL (re, im per mode) layout.
+
+    This Pallas prototype keeps the dense 2-per-mode channel packing
+    (incl. the zero mode-0 imag) for lane alignment; the library's
+    deposit._channel_meta dropped that channel, so the meta is local."""
+    is_mode0, flip = [], []
+    for comp in range(n_components):
+        for m in range(Nm):
+            msign = 1.0 if m % 2 == 0 else -1.0
+            for _part in range(2):
+                is_mode0.append(m == 0)
+                flip.append(comp_flip_parity[comp] * msign)
+    return dict(is_mode0=jnp.asarray(is_mode0, dtype=bool),
+                flip=jnp.asarray(flip, dtype=dtype))
 
 
 def _round_up(x, m):

@@ -46,14 +46,18 @@ import os as _os
 import jax
 import jax.numpy as jnp
 
-# MXU passes for the one-hot contraction: 'highest' (bf16x6, f32-exact,
-# default) or 'high' (bf16x3, ~1e-5 relative on the deposited sums --
-# fine for production a0 >= 1 wakes, visible in the a0 = 0.01 linear
-# benchmark).  The drho deposit always runs at 'highest'.
-_EINSUM_PRECISION = (jax.lax.Precision.HIGH
-                     if _os.environ.get("FBPIC_TPU_DEPOSIT_PRECISION",
-                                        "highest") == "high"
-                     else jax.lax.Precision.HIGHEST)
+# MXU passes for the one-hot contraction.  The S operand is a {0, 1}
+# one-hot matrix -- EXACT in bfloat16 -- so instead of XLA's generic
+# HIGHEST (6 passes: 3 bf16 splits of BOTH operands), _contract splits
+# only V into bf16 terms against a single bf16 S: every product S*V_i
+# is exact and the MXU accumulates in f32, so 3 terms reproduce the
+# full 24-bit mantissa of V (f32-exact, HIGHEST-equivalent) in half
+# the passes and half the operand-conversion memory traffic.
+# 'high' keeps 2 terms (~16-bit V, ~1e-5 relative on the deposited
+# sums -- fine for production a0 >= 1 wakes, visible in the a0 = 0.01
+# linear benchmark).
+_N_BF16_TERMS = (2 if _os.environ.get("FBPIC_TPU_DEPOSIT_PRECISION",
+                                      "highest") == "high" else 3)
 
 from ..constants import c
 from ..utils.complex_arr import CArr
@@ -232,7 +236,7 @@ def _padded_geometry(sort, x, y, z, invdz, zmin, Nz, invdr, rmin, Nr,
 
 
 def _build_V(geom, channel_vals, meta):
-    """The wide channel matrix (Nz, K, n_off*2*C) of one deposit."""
+    """Channel blocks [(Nz, K, C)] * (n_off*2) of one deposit."""
     mode0_mask = meta["is_mode0"]                      # (C,)
     flips = meta["flip"]                               # (C,)
     sr0 = jnp.where(mode0_mask[None, None, :],
@@ -246,13 +250,65 @@ def _build_V(geom, channel_vals, meta):
         zwv = v * zw[:, :, None]
         blocks.append(zwv * sr0)
         blocks.append(zwv * sr1)
-    return jnp.concatenate(blocks, axis=2)
+    return blocks
 
 
-def _contract(S, V):
-    return jnp.einsum("bkr,bkc->brc", S, V,
-                      precision=_EINSUM_PRECISION,
-                      preferred_element_type=V.dtype)
+def _contract(S, blocks):
+    """One-hot contraction out[b,r,c] = sum_k S[b,k,r] V[b,k,c] with
+    V = concat(blocks, axis=2).
+
+    float32 path: S is one-hot (exact in bf16), so only V is split
+    into _N_BF16_TERMS bf16 passes with f32 MXU accumulation -- see
+    the module-level note.  The split happens PER BLOCK, before the
+    concatenation, so the f32 V tensor (905 MB at production size) is
+    never materialized: each block's bf16 terms are computed in the
+    producer fusion and written straight into the per-term concats.
+    float64 (CPU test) path: plain einsum.
+    """
+    if not isinstance(blocks, (list, tuple)):
+        blocks = [blocks]
+    if blocks[0].dtype != jnp.float32:
+        V = jnp.concatenate(blocks, axis=2) if len(blocks) > 1 else blocks[0]
+        return jnp.einsum("bkr,bkc->brc", S, V,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=V.dtype)
+    Sb = S.astype(jnp.bfloat16)
+    out = None
+    rems = blocks
+    for i in range(_N_BF16_TERMS):
+        ts = [r.astype(jnp.bfloat16) for r in rems]
+        if i + 1 < _N_BF16_TERMS:
+            rems = [r - t.astype(r.dtype) for r, t in zip(rems, ts)]
+        term = jnp.concatenate(ts, axis=2) if len(ts) > 1 else ts[0]
+        p = jnp.einsum("bkr,bkc->brc", Sb, term,
+                       preferred_element_type=jnp.float32)
+        out = p if out is None else out + p
+    return out
+
+
+def _add_shifted_plane(buf, plane, lo, Nz, Nzb, zfold):
+    """Add a (Nz, Nrb, C) plane into buf at z-row offset `lo`.
+
+    Widened offset windows (sort_at_start / drho blocks) can push a
+    plane partially out of the (Nzb,) buffer; for periodic z the
+    out-of-buffer rows wrap around the seam (NGUARD=2 < the widest
+    window reach of 3), for open z ('clamp') they are empty by
+    construction (the damped guard margin keeps edge columns free) and
+    are dropped exactly like the scatter path's guard-row clip."""
+    if lo >= 0 and lo + Nz <= Nzb:
+        return buf.at[lo:lo + Nz].add(plane)
+    if lo < 0:
+        buf = buf.at[:lo + Nz].add(plane[-lo:])
+        if zfold == "periodic":
+            # rows j < -lo land at buffer row lo+j < 0 = cell
+            # (lo+j-NGUARD) mod Nz = core row lo+j+Nz
+            buf = buf.at[Nz + lo:Nz].add(plane[:-lo])
+        return buf
+    buf = buf.at[lo:].add(plane[:Nzb - lo])
+    if zfold == "periodic":
+        # rows j >= Nzb-lo land past the buffer = core rows lo+j-Nz
+        buf = buf.at[Nzb - Nz:lo].add(plane[Nzb - lo:])
+    return buf
 
 
 def _reassemble(out, Nz, Nr, zfold, delta_lo, delta_hi, C):
@@ -267,12 +323,7 @@ def _reassemble(out, Nz, Nr, zfold, delta_lo, delta_hi, C):
         lo = o + NGUARD
         plane = out[:, :, i, 0, :]
         plane = plane.at[:, 1:, :].add(out[:, :-1, i, 1, :])
-        if lo < 0:
-            buf = buf.at[:lo + Nz].add(plane[-lo:])
-        elif lo + Nz <= Nzb:
-            buf = buf.at[lo:lo + Nz].add(plane)
-        else:
-            buf = buf.at[lo:].add(plane[:Nzb - lo])
+        buf = _add_shifted_plane(buf, plane, lo, Nz, Nzb, zfold)
     return _fold_guard_cells(buf, Nz, Nr, zfold)
 
 
@@ -284,9 +335,9 @@ def _dense_deposit(geom, channel_vals, meta, Nz, Nr, zfold,
     """
     Nrb = Nr + 2 * NGUARD
     C = channel_vals.shape[2]
-    V = _build_V(geom, channel_vals, meta)
+    blocks = _build_V(geom, channel_vals, meta)
     S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=channel_vals.dtype)
-    out = _contract(S, V)
+    out = _contract(S, blocks)
     return _reassemble(out, Nz, Nr, zfold, delta_lo, delta_hi, C)
 
 
@@ -343,98 +394,16 @@ def deposit_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma, Nm,
 
 
 def _pack_padded(values, Nm):
-    """Pack per-component CArr (Nm, Nz, K) into (Nz, K, C) channels."""
+    """Pack per-component CArr (Nm, Nz, K) into (Nz, K, C) channels
+    (C = n_comp * (2*Nm - 1); the zero mode-0 imag is not stored,
+    matching deposit._pack_channels)."""
     cols = []
     for val in values:
         for m in range(Nm):
             cols.append(val.re[m])
-            cols.append(val.im[m])
+            if m > 0:
+                cols.append(val.im[m])
     return jnp.stack(cols, axis=2)
-
-
-def _dense_deposit_diff(geom1, geom2, ph1, ph2, wj, meta, ruyten, Nz,
-                        Nr, zfold, delta_lo, delta_hi):
-    """Contract the PER-PARTICLE difference of two rho deposits.
-
-    Computes sum_p wj_p [ph2_p S(x2_p) - ph1_p S(x1_p)] -- the
-    float32-exact way to obtain rho(x2) - rho(x1) when rho carries a
-    huge background (the plain grid difference, and even naive
-    per-element product differences, lose the wake-scale perturbation
-    to rounding; SURVEY hard part 3).
-
-    The product difference is TELESCOPED so every term is a small
-    difference times O(1) factors (relative rounding only, no
-    cancellation of large products):
-
-        ph2 zw2 sr2 - ph1 zw1 sr1 =
-            (ph2-ph1) zw1 sr1 + ph2 (zw2-zw1) sr1 + ph2 zw2 (sr2-sr1)
-
-    ph1/ph2: (Nz, K, C) azimuthal phase channels WITHOUT the weight;
-    wj: (Nz, K) charge weights.  Frame: x1's radial bin (one-hot S1);
-    x2's radial weights are evaluated relative to that bin (weights
-    leave [0,1] for the rare radial cell-crossers -- an
-    O(crossing-depth^2) approximation).  The z direction uses the
-    column-offset blocks, which share the sort column frame exactly.
-    """
-    Nzb, Nrb = Nz + 2 * NGUARD, Nr + 2 * NGUARD
-    C = ph1.shape[2]
-    rdt = ph1.dtype
-    n_off = delta_hi + 2 - delta_lo
-
-    mode0_mask = meta["is_mode0"]
-    flips = meta["flip"]
-
-    def radial_corners(u, bn):
-        corr = (1.0 - u) * u
-        sr0_m0 = (1.0 - u) + ruyten[0][bn] * corr
-        sr0_mh = (1.0 - u) + ruyten[1][bn] * corr
-        sr0 = jnp.where(mode0_mask[None, None, :],
-                        sr0_m0[:, :, None], sr0_mh[:, :, None])
-        sr1 = 1.0 - sr0
-        sr0 = jnp.where(geom1["below_axis"][:, :, None],
-                        flips[None, None, :] * sr0, sr0)
-        return sr0, sr1
-
-    bn1 = geom1["bn_idx"]
-    sr0_1, sr1_1 = radial_corners(geom1["u"], bn1)
-    # x2's radial offset in x1's bin frame
-    u2p = geom2["u"] + (geom2["ir_low"] - geom1["ir_low"]).astype(rdt)
-    sr0_2, sr1_2 = radial_corners(u2p, bn1)
-    dsr0 = sr0_2 - sr0_1
-    dsr1 = sr1_2 - sr1_1
-
-    dph = ph2 - ph1
-    wj3 = wj[:, :, None]
-
-    blocks = []
-    for o in range(n_off):
-        zw1 = geom1["zw"][o][:, :, None]
-        zw2 = geom2["zw"][o][:, :, None]
-        dzw = zw2 - zw1
-        blocks.append(wj3 * (dph * (zw1 * sr0_1) + ph2 * (dzw * sr0_1)
-                             + ph2 * (zw2 * dsr0)))
-        blocks.append(wj3 * (dph * (zw1 * sr1_1) + ph2 * (dzw * sr1_1)
-                             + ph2 * (zw2 * dsr1)))
-    V = jnp.concatenate(blocks, axis=2)
-
-    S = jax.nn.one_hot(geom1["ir_buf"], Nrb, dtype=rdt)
-    out = jnp.einsum("bkr,bkc->brc", S, V,
-                     precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=rdt)
-    out = out.reshape(Nz, Nrb, n_off, 2, C)
-
-    buf = jnp.zeros((Nzb, Nrb, C), dtype=rdt)
-    for i, o in enumerate(range(delta_lo, delta_hi + 2)):
-        lo = o + NGUARD
-        plane = out[:, :, i, 0, :]
-        plane = plane.at[:, 1:, :].add(out[:, :-1, i, 1, :])
-        if lo < 0:
-            buf = buf.at[:lo + Nz].add(plane[-lo:])
-        elif lo + Nz <= Nzb:
-            buf = buf.at[lo:lo + Nz].add(plane)
-        else:
-            buf = buf.at[lo:].add(plane[:Nzb - lo])
-    return _fold_guard_cells(buf, Nz, Nr, zfold)
 
 
 def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
@@ -590,8 +559,8 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     Nrb = Nr + 2 * NGUARD
     S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=x.dtype)
     V_J = _build_V(geom, channels, meta)
-    W_J = V_J.shape[2]
-    out_all = _contract(S, jnp.concatenate([V_J, V_D], axis=2))
+    W_J = sum(b.shape[2] for b in V_J)
+    out_all = _contract(S, V_J + V_D)
     out_J = _reassemble(out_all[..., :W_J], Nz, Nr, zfold, dj_lo, dj_hi,
                         channels.shape[2])
     Jr, Jt, Jz = _unpack_channels(out_J, 3, Nm)
@@ -633,19 +602,7 @@ def _build_V_span_diff(span, ph_a, ph_b, wj, meta, ruyten, n_blocks=5):
                              + ph_b * (zw_b * dsr0)))
         blocks.append(wj3 * (dph * (zw_a * sr1_a) + ph_b * (dzw * sr1_a)
                              + ph_b * (zw_b * dsr1)))
-    return jnp.concatenate(blocks, axis=2)
-
-
-def _dense_deposit_span_diff(span, ph_a, ph_b, wj, meta, ruyten, Nz, Nr,
-                             zfold):
-    """Contract sum_p wj [ph_b S(x_b) - ph_a S(x_a)] with telescoped
-    per-particle product differences (see deposit_rho_J_sorted)."""
-    Nrb = Nr + 2 * NGUARD
-    C = ph_a.shape[2]
-    V = _build_V_span_diff(span, ph_a, ph_b, wj, meta, ruyten)
-    S = jax.nn.one_hot(span["ir_buf"], Nrb, dtype=ph_a.dtype)
-    out = _contract(S, V)
-    return _reassemble(out, Nz, Nr, zfold, -2, 1, C)
+    return blocks
 
 
 # ---------------------------------------------------------------------
@@ -739,14 +696,14 @@ def _corner_weights_cubic(geom, meta, sr_m0=None, sr_mh=None,
 
 
 def _build_V_cubic(geom, channel_vals, meta):
-    """The wide channel matrix (Nz, K, n_off*4*C) of one cubic deposit."""
+    """Channel blocks [(Nz, K, C)] * (n_off*4) of one cubic deposit."""
     srj = _corner_weights_cubic(geom, meta)
     blocks = []
     for zw in geom["zw"]:
         zwv = channel_vals * zw[:, :, None]
         for j in range(4):
             blocks.append(zwv * srj[j])
-    return jnp.concatenate(blocks, axis=2)
+    return blocks
 
 
 def _reassemble_cubic(out, Nz, Nr, zfold, delta_lo, delta_hi, C):
@@ -762,12 +719,7 @@ def _reassemble_cubic(out, Nz, Nr, zfold, delta_lo, delta_hi, C):
         plane = out[:, :, i, 0, :]
         for j in range(1, 4):
             plane = plane.at[:, j:, :].add(out[:, :-j, i, j, :])
-        if lo < 0:
-            buf = buf.at[:lo + Nz].add(plane[-lo:])
-        elif lo + Nz <= Nzb:
-            buf = buf.at[lo:lo + Nz].add(plane)
-        else:
-            buf = buf.at[lo:].add(plane[:Nzb - lo])
+        buf = _add_shifted_plane(buf, plane, lo, Nz, Nzb, zfold)
     return _fold_guard_cells(buf, Nz, Nr, zfold)
 
 
@@ -914,14 +866,14 @@ def deposit_rho_J_sorted_cubic(sort, x, y, z, w, q, ux, uy, uz,
             dsr = sr_b[j] - sr_a[j]
             blocks.append(wj3 * (dph * (za * sr_a[j]) + ph_b
                                  * (dz_ * sr_a[j]) + ph_b * (zb * dsr)))
-    V_D = jnp.concatenate(blocks, axis=2)
+    V_D = blocks
 
     # ONE contraction for J + drho (shared mid-position one-hot S)
     Nrb = Nr + 2 * NGUARD
     S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=x.dtype)
     V_J = _build_V_cubic(geom, channels, meta)
-    W_J = V_J.shape[2]
-    out_all = _contract(S, jnp.concatenate([V_J, V_D], axis=2))
+    W_J = sum(b.shape[2] for b in V_J)
+    out_all = _contract(S, V_J + V_D)
     out_J = _reassemble_cubic(out_all[..., :W_J], Nz, Nr, zfold, -2, -1,
                               channels.shape[2])
     Jr, Jt, Jz = _unpack_channels(out_J, 3, Nm)
