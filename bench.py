@@ -15,18 +15,19 @@ this workload (the reference publishes no absolute numbers, and it
 cannot run here: no numba, 1 CPU core -- see BASELINE.md).
 >1.0 means faster than the target.
 
-Cost model (r2, measured with in-program chained timers -- the shared
-dev chip shows +-30% run-to-run wall-clock variance, so single bench
-numbers are noisy): fused sorted-dense J+drho deposit ~13-15 ms,
-column sort ~5 ms, field gather ~8 ms, spectral transforms ~10-13 ms
-(3 z-DFT round trips/step after the radix split), push/filters/window
-~8 ms => ~45-60 ms/step at 576k particles (f32, incl. the float32
-d(rho) machinery that makes the physics correct -- see
-tests/test_f32_parity.py).  r1 measured 71 ns/p/step WITHOUT correct
-f32 physics (and with the flagship physics test red).  The next
-mechanism on the roadmap is keeping particles resident in the
-column-padded layout so the per-index sort gather and field gather
-collapse into MXU contractions as well.
+Cost model (r4, per-op device profile via tools/profile_ops.py; the
+shared dev chip shows +-30% run-to-run wall-clock variance, so single
+bench numbers are noisy).  With the resident column-padded layout live
+(one payload sort per step, MXU contraction gather, fused J+drho
+deposit with per-block bf16 splits) the 26 ms attributed device time
+at 576k particles breaks down as: column sort 8.3 ms + padded relayout
+4.7 ms (a serialized XLA big-slice gather loop), deposit contractions
+~3 ms, gather contraction ~1.5 ms, spectral transforms + push + window
+the rest.  History: r1 71 ns/p/step (f32 physics WRONG), r2 90 ns
+(f32-correct drho machinery), r3 57.8 ns (resident layout), r4 44.3 ns
+(bf16-split contraction) -> lazy re-sort (sort_every=4: the sort +
+relayout amortize 4x, deposits/gather run on the stored rows with
+widened offset windows) targets the remaining sort dominance.
 """
 import json
 import time

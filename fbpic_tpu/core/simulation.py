@@ -5,6 +5,7 @@ that reference input scripts port over unchanged; internally everything
 is re-designed: the state is one pytree, the PIC cycle is one jit step.
 """
 import dataclasses
+import os
 import warnings
 
 import numpy as np
@@ -285,6 +286,18 @@ class Simulation:
                 cells_per_step = 2.0 * c * dt / dz
                 exchange_period = max(
                     1, int((n_guard_ / 2 - 3) / cells_per_step))
+                # Round DOWN to a multiple of the lazy re-sort cadence
+                # (always safe: smaller periods only add exchanges) so
+                # resident species keep sort_every > 1 -- injection
+                # steps must be sort steps (step._eff_sort_every).
+                # Only where residency can exist (accelerators / f32):
+                # the f64 CPU cadence stays the reference-rule value.
+                from ..utils.dtypes import x64_enabled
+                se = max(1, int(os.environ.get("FBPIC_TPU_SORT_EVERY",
+                                               "4")))
+                if (exchange_period > se
+                        and (_on_accelerator() or not x64_enabled())):
+                    exchange_period = (exchange_period // se) * se
             else:
                 exchange_period = 1
         self.exchange_period = max(1, int(exchange_period))
@@ -563,12 +576,24 @@ class Simulation:
                 capacity = cap_resident
                 resident = True
 
+        # Lazy re-sort cadence for resident species: the full payload
+        # sort + relayout dominates the TPU step (~13 of 26 ms at the
+        # bench size), and positions stray <= c*dt/dz cells per step,
+        # so re-sorting every few steps with widened deposit/gather
+        # offset windows amortizes it.  The step clamps the cadence to
+        # divide the effective exchange period (injection steps must
+        # be sort steps).
+        sort_every = 1
+        if resident:
+            sort_every = int(os.environ.get("FBPIC_TPU_SORT_EVERY", "4"))
+
         sc = SpeciesConfig(
             q=q, m=m, particle_shape=self.config.particle_shape,
             is_tracer=is_tracer,
             name=name or f"species{len(self.species_configs)}",
             sort_K=int(sort_K),
             resident=resident,
+            sort_every=max(1, sort_every),
         )
         pstate = make_particle_state(x, y, z, ux, uy, uz, inv_gamma, w,
                                      capacity=capacity)
@@ -952,9 +977,13 @@ class Simulation:
                     # Residency requires capacity == Nz * sort_K:
                     # reallocate the arrays with dead-slot padding so
                     # the bumped K keeps the invariant instead of
-                    # crashing the next chunk on the step's assert
+                    # crashing the next chunk on the step's assert.
+                    # Row-aware: the stored order is the (Nz, K_old)
+                    # layout (positional between lazy re-sorts), so
+                    # each ROW gets its dead tail.
                     new_species[i] = pad_particle_state(
-                        new_species[i], self.config.Nz * new_K)
+                        new_species[i], self.config.Nz * new_K,
+                        row_shape=(self.config.Nz, sc.sort_K))
                 bumped.append(f"{sc.name}: {sc.sort_K}->{new_K}")
             self.state = dataclasses.replace(
                 self.state, species=tuple(new_species))

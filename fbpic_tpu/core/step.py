@@ -846,6 +846,21 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         zmin_g = halo.global_zmin(zmin) if halo is not None else zmin
         mw_zref = state.mw_zref
         dt = config.dt
+        # Galilean frame: the grid flows at v_comoving, i.e. zmin
+        # advances by vg*dt every step (the reference shifts the
+        # boundaries in two half-steps around the mid-step deposits,
+        # main.py:497,:525 + shift_galilean_boundaries:772-789).
+        # Deposits use the grid position at their own time: J at
+        # zmin + vg*dt/2, rho_next at zmin + vg*dt.  Without this
+        # drift the scheme degenerates to the static-grid comoving
+        # variant, which does NOT suppress the numerical Cherenkov
+        # instability (measured: a gamma=130 flowing plasma explodes
+        # by 14 orders of magnitude in 300 steps).
+        vg = (config.v_comoving
+              if (config.use_comoving and config.use_galilean) else 0.0)
+        vg_dt = vg * dt
+        zmin_mid = zmin + 0.5 * vg_dt
+        zmin_next = zmin + vg_dt
 
         # --- Open boundaries: every exchange_period steps, remove the
         #     particles that reached the guard cells, inject the plasma
@@ -932,6 +947,24 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # re-flattened padded arrays become the new state.  This
         # removes the serialized per-index field gather (~8 ms at
         # production size) and the separate mid-step sort.
+        # Lazy re-sort cadence: between sorts the stored (Nz, K) row
+        # layout IS the plan (rolled with the moving window below);
+        # positions stray <= drift extra cells from their row, covered
+        # by widened deposit/gather offset windows.  Sorts must land on
+        # every injection step (injection rewrites storage), so the
+        # cadence is clamped to divide the effective exchange period.
+        cells_per_step = max(1, int(c * dt / config.dz - 1e-9) + 1)
+
+        def _eff_sort_every(i, sc):
+            eff = max(1, int(sc.sort_every))
+            has_inj = (options.moving_window_v is not None
+                       and options.injectors
+                       and options.injectors[i] is not None)
+            if has_inj:
+                while exchange_period % eff != 0:
+                    eff -= 1
+            return eff
+
         for i in sorted(resident_idx):
             sp, sc = species[i], species_configs[i]
             K = sc.sort_K
@@ -952,8 +985,30 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             n_float = len(payload)
             if has_ids:
                 payload += [sp.ids, sp.ids_hi]
-            sort = build_column_sort(sp.z, sp.w, zmin, 1.0 / config.dz,
-                                     config.Nz, K, payload=tuple(payload))
+            eff_sort = _eff_sort_every(i, sc)
+            drift = (eff_sort - 1) * cells_per_step
+            if eff_sort == 1:
+                sort = build_column_sort(sp.z, sp.w, zmin,
+                                         1.0 / config.dz,
+                                         config.Nz, K,
+                                         payload=tuple(payload))
+            else:
+                def _sort_branch(pl):
+                    s = build_column_sort(pl[2], pl[3], zmin,
+                                          1.0 / config.dz, config.Nz,
+                                          K, payload=pl)
+                    return (tuple(s["padded"]), s["valid"], s["n_over"])
+
+                def _reuse_branch(pl):
+                    padded = tuple(a.reshape(config.Nz, K) for a in pl)
+                    return (padded, padded[3] != 0,
+                            jnp.zeros((), jnp.int32))
+
+                do_sort = (state.iteration % eff_sort) == 0
+                padded_t, valid_t, n_over_t = jax.lax.cond(
+                    do_sort, _sort_branch, _reuse_branch, tuple(payload))
+                sort = dict(padded=list(padded_t), valid=valid_t,
+                            n_over=n_over_t)
             # In resident mode a column-K overflow LOSES the excess
             # particles from the state (not just from one deposit);
             # the in-jit counter below makes that loud and auto-bumps K
@@ -971,7 +1026,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             EB = gather_fields_sorted(
                 psp.x, psp.y, psp.z, valid, interp, options.rmax_gather,
                 1.0 / config.dz, zmin, config.Nz,
-                1.0 / config.dr, 0.0, config.Nr, comp=_comp_of(psp))
+                1.0 / config.dr, 0.0, config.Nr, comp=_comp_of(psp),
+                drift=drift, zfold=_zfold(config))
             E, B = EB[:3], EB[3:]
             if options.external_fields:
                 fields = dict(Ex=E[0], Ey=E[1], Ez=E[2],
@@ -991,7 +1047,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                                                   dt, z_plane=z_plane)
                 psp = dataclasses.replace(psp, ux=ux, uy=uy, uz=uz,
                                           inv_gamma=inv_gamma)
-            psp = half_push_x(config, options, psp, zmin)
+            psp = half_push_x(config, options, psp, zmin_mid)
             # Fused J + rho/d(rho) deposition on the pushed padded
             # arrays (sort_at_start: the sort is half a push behind,
             # so every z-offset window widens by one cell each way)
@@ -1005,16 +1061,16 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             out = deposit_rho_J_sorted(
                 sort_dep, psp.x, psp.y, psp.z, psp.w, sc.q,
                 psp.ux, psp.uy, psp.uz, psp.inv_gamma, 0.5 * config.dt,
-                config.Nm, 1.0 / config.dz, zmin, config.Nz,
+                config.Nm, 1.0 / config.dz, zmin_mid, config.Nz,
                 1.0 / config.dr, 0.0, config.Nr, aux.ruyten_linear,
                 zfold=_zfold(config), comp=_comp_of(psp),
                 with_drho=want_drho, with_rho=not want_drho,
-                sort_at_start=True)
+                sort_at_start=True, vz_shift=vg, drift=drift)
             fused_J[i] = out[:3]
             fused_rho[i] = out[3]
             if want_drho:
                 fused_drho[i] = out[4]
-            psp = half_push_x(config, options, psp, zmin)
+            psp = half_push_x(config, options, psp, zmin_next)
             # Flatten back: the sorted order becomes the storage order.
             # Invalid slots hold duplicates of neighboring live slots
             # (the window slices overlap) -- masked dead via w = 0.
@@ -1041,7 +1097,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             if sc.ionizer is not None:
                 gathered_EB[i] = (E, B)
         species = [sp if i in resident_idx
-                   else half_push_x(config, options, sp, zmin)
+                   else half_push_x(config, options, sp, zmin_mid)
                    for i, sp in enumerate(species)]
 
         # --- Elementary processes at t = (n+1/2) dt: Compton scattering
@@ -1110,7 +1166,13 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                         or (sc.particle_shape == "cubic" and will_fuse))
             if i in resident_idx:
                 continue
-            if sc.sort_K > 0 and shape_ok and not sc.is_tracer:
+            # Galilean grid drift: the legacy (non-fused) sorted
+            # deposits assume an exact-position sort, but the rho_next
+            # positions drift (vz - vg)*dt/2 -- up to a full cell --
+            # from the mid-step sort; only the fused deposit's widened
+            # windows (+ vz_shift) handle that, so scatter otherwise.
+            if sc.sort_K > 0 and shape_ok and not sc.is_tracer \
+                    and (will_fuse or vg == 0.0):
                 sp = species[i]
                 # Payload prefix convention of _padded_arrays:
                 # x, y, z, w_eff, u, inv_gamma [, Kahan residuals].
@@ -1128,7 +1190,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                         payload += list(cmp_)
                     payload = tuple(payload)
                 sorts[i] = build_column_sort(
-                    sp.z, w_eff, zmin, 1.0 / config.dz,
+                    sp.z, w_eff, zmin_mid, 1.0 / config.dz,
                     config.Nz, sc.sort_K, payload=payload)
                 n_over = sorts[i]["n_over"]
                 if halo is not None:
@@ -1164,12 +1226,12 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 out = fused_fn(
                     sorts[i], sp.x, sp.y, sp.z, w_eff, sc.q,
                     sp.ux, sp.uy, sp.uz, sp.inv_gamma, 0.5 * config.dt,
-                    config.Nm, 1.0 / config.dz, zmin, config.Nz,
+                    config.Nm, 1.0 / config.dz, zmin_mid, config.Nz,
                     1.0 / config.dr, 0.0, config.Nr,
                     aux.ruyten_cubic if cubic else aux.ruyten_linear,
                     zfold=_zfold(config),
                     comp=_comp_of(sp), with_drho=want_drho,
-                    with_rho=not derive_rho_next)
+                    with_rho=not derive_rho_next, vz_shift=vg)
                 fused_J[i] = out[:3]
                 fused_rho[i] = out[3]
                 if want_drho:
@@ -1181,9 +1243,9 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # guard-cell spill is folded to the neighbor by the exchange,
         # exactly like particle deposits (reference hands the antenna
         # between ranks, antenna_injection.py:314).
-        a_bounds = halo.own_bounds(zmin) if halo is not None else None
+        a_bounds = halo.own_bounds(zmin_mid) if halo is not None else None
         Jp, Jm, Jz = deposit_J_spect(config, aux, species, species_configs,
-                                     zmin, antenna_series=antenna_series,
+                                     zmin_mid, antenna_series=antenna_series,
                                      iteration=state.iteration, sorts=sorts,
                                      fused=fused_J, antenna_bounds=a_bounds)
         if options.filter_currents:
@@ -1195,7 +1257,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         if (options.correct_currents
                 and config.current_correction == "cross-deposition"):
             spect = _cross_deposit(config, options, aux, spect, species,
-                                   species_configs, zmin, halo=halo)
+                                   species_configs, zmin, halo=halo,
+                                   vg_dt=vg_dt)
 
         # --- drho fallback for non-fused species in float32: their
         # rho contribution at the PRE-push positions (grid difference;
@@ -1224,7 +1287,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
 
         # --- Second half position push (resident species already pushed)
         species = [sp if i in resident_idx
-                   else half_push_x(config, options, sp, zmin)
+                   else half_push_x(config, options, sp, zmin_next)
                    for i, sp in enumerate(species)]
 
         # --- float32: directly-deposited d(rho) for the correction
@@ -1265,7 +1328,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             rho_next = spect.rho_prev + drho
         else:
             rho_next = deposit_rho_spect(config, aux, species,
-                                         species_configs, zmin,
+                                         species_configs, zmin_next,
                                          sorts=sorts, fused=fused_rho)
             if options.filter_currents:
                 rho_next = ps.filter_scalar(rho_next, aux.filter_z,
@@ -1311,6 +1374,14 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 aux.kz, aux.kr, aux.inv_k2)
             spect = dataclasses.replace(spect, Ep=Ep, Em=Em, Ez=Ez)
 
+        # --- Galilean frame: the grid edge has flowed vg*dt this step
+        # (continuous -- no spectral shift; the comoving PSATD
+        # coefficients advance the fields in the flowing frame).  Must
+        # precede the moving-window comparison so the window only
+        # shifts the EXCESS beyond the Galilean drift.
+        zmin = zmin + vg_dt
+        zmin_g = zmin_g + vg_dt
+
         # --- Moving window: shift the spectral fields and the grid edge
         if options.moving_window_v is not None:
             mw_zref = mw_zref + options.moving_window_v * dt
@@ -1323,6 +1394,34 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                                + 1e-3).astype(jnp.int32)
             spect = shift_spectral_fields(config, aux, spect, n_move)
             zmin = zmin + n_move.astype(zmin.dtype) * config.dz
+            # Lazy-resident species: the shift re-labels grid columns,
+            # so roll the stored rows to keep row == column.  The
+            # wrapped-in rightmost rows are zeroed (their content was
+            # the leftmost columns' -- already outside the removal
+            # bound, dead or about to be removed; the removal margin
+            # n_guard >> exchange_period * cells_per_step guarantees
+            # no live particle sits there between exchanges).
+            for ri in sorted(resident_idx):
+                rsc = species_configs[ri]
+                if _eff_sort_every(ri, rsc) == 1:
+                    continue
+                rsp = species[ri]
+                rK = rsc.sort_K
+                row = jnp.arange(config.Nz * rK, dtype=jnp.int32) // rK
+                kill = row >= (config.Nz - n_move)
+                upd = {}
+                for fname in ("x", "y", "z", "ux", "uy", "uz",
+                              "inv_gamma", "w", "ids", "ids_hi",
+                              "comp_x", "comp_y", "comp_z"):
+                    arr = getattr(rsp, fname)
+                    if arr is None:
+                        continue
+                    arr = jnp.roll(arr, -n_move * rK)
+                    if fname == "w":
+                        arr = jnp.where(kill, jnp.zeros((), arr.dtype),
+                                        arr)
+                    upd[fname] = arr
+                species[ri] = dataclasses.replace(rsp, **upd)
 
         # --- Open-z boundaries / mirrors / multi-device guard replace.
         # The plain single-chip damping profile is applied CHEAPLY:
@@ -1470,28 +1569,33 @@ def make_multi_step_capture(config: GridConfig, species_configs,
 
 
 def _cross_deposit(config, options, aux, spect, species, species_configs,
-                   zmin, halo=None):
+                   zmin, halo=None, vg_dt=0.0):
     """Deposit rho_next_xy and rho_next_z (cross-deposition scheme).
 
     Particles enter at (z[n+1/2], x[n+1/2]); see reference main.py:672-716.
+    vg_dt: Galilean grid drift per step -- rho_next_xy (z at t=n) sees
+    the grid at zmin, rho_next_z (z at t=n+1) the grid at zmin + vg*dt
+    (reference shifts the boundaries between the two deposits,
+    main.py:692,:704).
     """
-    def push_species(species, dt, xp, yp, zp):
+    def push_species(species, dt, xp, yp, zp, zmin_wrap):
         out = []
         for sp in species:
             if options.move_positions:
                 x, y, z = pp.push_x(sp, dt, x_push=xp, y_push=yp, z_push=zp)
                 if config.boundaries_z == "periodic":
-                    z = _wrap_z_periodic(config, z, zmin)
+                    z = _wrap_z_periodic(config, z, zmin_wrap)
                 sp = dataclasses.replace(sp, x=x, y=y, z=z)
             out.append(sp)
         return out
 
     # z[n+1/2], x[n+1/2] -> z[n], x[n+1]
-    tmp = push_species(species, 0.5 * config.dt, 1.0, 1.0, -1.0)
+    tmp = push_species(species, 0.5 * config.dt, 1.0, 1.0, -1.0, zmin)
     rho_next_xy = deposit_rho_spect(config, aux, tmp, species_configs, zmin)
     # z[n], x[n+1] -> z[n+1], x[n]
-    tmp = push_species(tmp, config.dt, -1.0, -1.0, 1.0)
-    rho_next_z = deposit_rho_spect(config, aux, tmp, species_configs, zmin)
+    tmp = push_species(tmp, config.dt, -1.0, -1.0, 1.0, zmin + vg_dt)
+    rho_next_z = deposit_rho_spect(config, aux, tmp, species_configs,
+                                   zmin + vg_dt)
     if halo is not None:
         fs = tr.ifft_z_many(aux.mats, [rho_next_xy, rho_next_z])
         fs = halo.exchange_add(fs)

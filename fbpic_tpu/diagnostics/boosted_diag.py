@@ -141,12 +141,26 @@ class BackTransformedFieldDiagnostic(OpenPMDDiagnostic):
     # per-step slice extraction happens INSIDE the jitted chunk via
     # lax.scan -- the TPU analog of the reference's per-step CUDA
     # extraction kernel, boosted_field_diag.py:747)
-    def device_capture(self):
+    def device_capture(self, config=None, mats=None, own=None,
+                       axis_name=None):
+        """Build the in-jit per-step slice extractor.
+
+        Single-chip (no arguments): slices the full grid.
+        Decomposed (config=config_local, mats=local aux.mats,
+        own=(n_guard, Nz_interior), axis_name=mesh axis): each rank
+        slices its OWNED interior (guard interpolation reaches into
+        exchanged halo cells, which replicate the neighbor), then the
+        per-snapshot slices are psum'd so every rank returns the
+        replicated global result -- the TPU analog of the reference's
+        per-rank slice extraction + rank-0 assembly
+        (boosted_field_diag.py:559-746).
+        """
+        import jax
         import jax.numpy as jnp
         from ..utils.complex_arr import CArr
         sim = self.sim
-        cfg = sim.config
-        mats = sim.aux.mats
+        cfg = config or sim.config
+        mats = mats if mats is not None else sim.aux.mats
         gamma, beta = self.gamma_boost, self.beta_boost
         names = list(self.snapshots[0].names)
         need_J = any(n.startswith("J") for n in names)
@@ -171,10 +185,31 @@ class BackTransformedFieldDiagnostic(OpenPMDDiagnostic):
             t_b = state.time
             z_b = (t_lab / gamma - t_b) * c / beta           # (S,)
             z_lab = gamma * (z_b + beta * c * t_b)
-            iz_f = (z_b - state.zmin) / cfg.dz - 0.5
+            zmin_here = state.zmin
+            if axis_name is not None:
+                g, Nz_int = own
+                idx = jax.lax.axis_index(axis_name)
+                zmin_here = zmin_here + (idx * Nz_int - g) * cfg.dz
+            iz_f = (z_b - zmin_here) / cfg.dz - 0.5
             iz0 = jnp.clip(jnp.floor(iz_f).astype(jnp.int32), 0, Nz - 2)
             s1 = jnp.clip(iz_f - iz0, 0.0, 1.0)
-            valid = (iz_f >= 0.0) & (iz_f <= Nz - 1.0)
+            if axis_name is None:
+                valid = (iz_f >= 0.0) & (iz_f <= Nz - 1.0)
+            else:
+                # Owned-interior claim: the slab interiors tile the
+                # global box, so exactly one rank claims each plane
+                # (edge ranks' claims are widened to +-inf so planes in
+                # the global edge half-cells keep the single-chip clamp
+                # behavior), intersected with the global-box bound.
+                g, Nz_int = own
+                ndev = jax.lax.psum(1, axis_name)
+                idx = jax.lax.axis_index(axis_name)
+                lo = jnp.where(idx == 0, -jnp.inf, float(g))
+                hi = jnp.where(idx == ndev - 1, jnp.inf,
+                               float(g + Nz_int))
+                glob = iz_f + (idx * Nz_int - g)   # global-grid iz_f
+                valid = ((iz_f >= lo) & (iz_f < hi)
+                         & (glob >= 0.0) & (glob <= ndev * Nz_int - 1.0))
 
             out = {}
             for name in ("Er", "Et", "Ez", "Br", "Bt", "Bz"):
@@ -211,6 +246,17 @@ class BackTransformedFieldDiagnostic(OpenPMDDiagnostic):
                 out["Jr"], out["Jt"] = Fr, Ft
                 out["Jz"] = dht_cols(
                     mats.invM0, zcols(state.spect.Jz, rows_re, rows_im))
+            if axis_name is not None:
+                # Zero the non-claiming ranks' (garbage-interpolated)
+                # slices, then reduce so every rank holds the global
+                # replicated result (z_lab is replicated by
+                # construction: a pure function of t_lab and time)
+                vmask = valid.astype(rdt)[None, :, None]
+                out = {k: CArr(v.re * vmask, v.im * vmask)
+                       for k, v in out.items()}
+                out = jax.lax.psum(out, axis_name)
+                valid = jax.lax.psum(
+                    valid.astype(jnp.int32), axis_name) > 0
             return dict(valid=valid, z_lab=z_lab, slices=out)
 
         return cap

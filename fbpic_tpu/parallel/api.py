@@ -78,6 +78,32 @@ class DistributedRun:
                                  donate_argnums=0)
         self.iteration = int(sim.iteration)
 
+        # Back-transformed (device-capture) diagnostics: build a second
+        # step function that extracts their plane slices INSIDE the
+        # device program every step (each rank slices its owned
+        # interior, psum-reduced to a replicated result) -- the
+        # decomposed analog of the single-chip capture chunks
+        # (core/simulation.py) and of the reference's per-rank slice
+        # extraction under MPI (boosted_field_diag.py:559-746).
+        self._capture_writers = [
+            w for w in list(sim.diags) + list(sim.checkpoints)
+            if hasattr(w, "device_capture")]
+        self._jit_capture_step = None
+        if self._capture_writers:
+            g = self.config_local.n_guard
+            cap_fns = tuple(
+                w.device_capture(config=self.config_local,
+                                 mats=self.aux.mats,
+                                 own=(g, self.Nz_int),
+                                 axis_name=axis_name)
+                for w in self._capture_writers)
+            capture_step, _ = dom.make_multichip_step(
+                config, tuple(sim.species_configs), options, mesh,
+                axis_name=axis_name, migration_buffer=migration_buffer,
+                n_guard=self.config_local.n_guard, capture_fns=cap_fns)
+            self._jit_capture_step = jax.jit(
+                capture_step, static_argnums=2, donate_argnums=0)
+
     # -- state conversion -------------------------------------------------
 
     def _reslice_spect(self, F, mats_global):
@@ -242,8 +268,10 @@ class DistributedRun:
         ion_auxes = tuple(sim._ionizer_auxes)
         comp_auxes = tuple(sim._compton_auxes)
 
-        writers = list(sim.diags) + list(sim.checkpoints)
-        if writers and self.iteration == 0:
+        all_writers = list(sim.diags) + list(sim.checkpoints)
+        writers = [w for w in all_writers
+                   if not hasattr(w, "device_capture")]
+        if all_writers and self.iteration == 0:
             self.sync_to_sim()
             for diag in sim.diags:
                 diag.write(sim)
@@ -256,12 +284,24 @@ class DistributedRun:
                 next_boundary = period - (self.iteration % period)
                 chunk = min(chunk, max(1, next_boundary))
             antenna_series = self._antenna_series(chunk)
-            self.state = self._jit_step(self.state, self.aux, int(chunk),
-                                        inj_auxes, ion_auxes,
-                                        antenna_series, comp_auxes)
+            if self._jit_capture_step is not None:
+                self.state, caps = self._jit_capture_step(
+                    self.state, self.aux, int(chunk), inj_auxes,
+                    ion_auxes, antenna_series, comp_auxes)
+            else:
+                caps = None
+                self.state = self._jit_step(
+                    self.state, self.aux, int(chunk), inj_auxes,
+                    ion_auxes, antenna_series, comp_auxes)
             done += chunk
             self.iteration += int(chunk)
             self._check_migration()
+            if caps is not None:
+                # Snapshot flushes gather particle views lazily --
+                # refresh the host mirror first so back-transformed
+                # PARTICLE-side state (if any) is current
+                for w, cap in zip(self._capture_writers, caps):
+                    w.process_chunk(sim, cap)
             if writers and any(
                     self.iteration % getattr(d, "period", N) == 0
                     for d in writers):

@@ -247,7 +247,7 @@ def migrate_particles(sp, config_local, zmin, axis_name, buffer_size,
 def make_multichip_step(config_global: GridConfig, species_configs,
                         options: StepOptions, mesh: Mesh,
                         axis_name="z", migration_buffer=None,
-                        n_guard=None):
+                        n_guard=None, capture_fns=()):
     """Build the shard_map'd multi-device N-step function.
 
     config_global: the full-box grid config (periodic or open z; for
@@ -266,6 +266,13 @@ def make_multichip_step(config_global: GridConfig, species_configs,
     state arrays are globally shaped: fields (Nm, ndev*Nzl, Nr) sharded
     along z; particle arrays (ndev*cap,) sharded.  aux is replicated
     (built from the LOCAL grid config -- use local_aux()).
+
+    capture_fns: tuple of cap(state_local, aux) -> small REPLICATED
+    pytree (the capture must psum over `axis_name` itself), evaluated
+    after every step inside the device program and stacked over steps
+    -- the decomposed analog of core.step.make_multi_step_capture,
+    used by the back-transformed diagnostics.  When non-empty,
+    multi_step returns (state, caps).
 
     Returns (multi_step, config_local).
     multi_step(state, aux, n_steps, inj_auxes=(), ion_auxes=(),
@@ -460,14 +467,29 @@ def make_multichip_step(config_global: GridConfig, species_configs,
                 state_local = dataclasses.replace(
                     state_local,
                     migration_overflow=jnp.zeros((), jnp.int32))
+            if capture_fns:
+                def one_cap(s, _):
+                    s2 = local_step(s, aux_local, inj_l, ion_l, ant_l,
+                                    comp_l)
+                    caps = tuple(f(s2, aux_local) for f in capture_fns)
+                    return s2, caps
+                return jax.lax.scan(one_cap, state_local, None,
+                                    length=n_steps)
             def one(i, s):
                 return local_step(s, aux_local, inj_l, ion_l, ant_l,
                                   comp_l)
             return jax.lax.fori_loop(0, n_steps, one, state_local)
 
-        sharded = shard_map(
-            body, mesh=mesh, in_specs=(specs,) + rep,
-            out_specs=specs, check_vma=False)
+        if capture_fns:
+            # caps are psum'd inside the captures -> replicated (P()
+            # is a pytree PREFIX covering the whole caps subtree)
+            sharded = shard_map(
+                body, mesh=mesh, in_specs=(specs,) + rep,
+                out_specs=(specs, P()), check_vma=False)
+        else:
+            sharded = shard_map(
+                body, mesh=mesh, in_specs=(specs,) + rep,
+                out_specs=specs, check_vma=False)
         return sharded(state, aux, inj_auxes, ion_auxes, antenna_series,
                        comp_auxes)
 

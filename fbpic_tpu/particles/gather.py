@@ -151,7 +151,8 @@ def gather_fields_linear(
 
 def gather_fields_sorted(
     xp, yp, zp, valid, interp, rmax_gather, invdz, zmin, Nz,
-    invdr, rmin, Nr, comp=None, precision=None,
+    invdr, rmin, Nr, comp=None, precision=None, drift=0,
+    zfold="periodic",
 ):
     """Linear-shape gather on the column-padded (Nz, K) layout as one
     MXU contraction -- the resident-layout replacement for the
@@ -165,9 +166,10 @@ def gather_fields_sorted(
     0..Nr-1}), S holding the 4 bilinear corner weights per particle and
     F_ext[col, (o, r), ch] = F[clip/mod(col + o), r, ch].  The
     below-axis guard sign flips ride on the F side as a signed guard
-    row.  Requires the sort columns to be within one cell of the
-    particle positions (exact at sort time; the resident step gathers
-    immediately after the sort).
+    row.  Requires the sort columns to be within 1 + `drift` cells of
+    the particle positions (exact at sort time; with the lazy re-sort
+    the plan is up to sort_every-1 steps old, so pass the extra stray
+    bound as `drift` -- the z-offset window widens to +-(1 + drift)).
 
     Returns (Ex, Ey, Ez, Bx, By, Bz) as (Nz, K) arrays (invalid slots
     zero).  Behavioral reference:
@@ -203,19 +205,29 @@ def gather_fields_sorted(
     l_r = jnp.clip(ir_lower + 1, 0, Nr)
     u_r = jnp.minimum(l_r + 1, Nr)
 
-    # z offset of the footprint base from the sort column (|drift| <= 1)
+    # z offset of the footprint base from the sort column.  Periodic
+    # z: a particle that crossed the wrap seam since the (lazy) sort
+    # has iz_lower - col = +-(Nz - 1); the physical offset is small,
+    # so wrap to the centered residue before clipping (F_ext's rolled
+    # copies are periodic, so the wrapped offset fetches the right
+    # rows).  Open z ('clamp'): plain clip, like the deposit path.
+    D = 1 + int(drift)
+    n_off = 2 * D + 1
     col = jnp.arange(Nz, dtype=jnp.int32)[:, None]
-    delta = jnp.clip(iz_lower - col, -1, 1)
+    delta = iz_lower - col
+    if zfold == "periodic":
+        delta = jnp.mod(delta + Nz // 2, Nz) - Nz // 2
+    delta = jnp.clip(delta, -D, D)
 
     Nrx = Nr + 1
-    J = 3 * Nrx
+    J = n_off * Nrx
 
     def onehot(o_idx, ridx, wgt):
         j = o_idx * Nrx + ridx
         return wgt[:, :, None] * jax.nn.one_hot(j, J, dtype=rdt)
 
-    o_lo = delta + 1                    # o in {-1,0,1} -> {0,1,2}
-    o_hi = jnp.minimum(o_lo + 1, 2)
+    o_lo = delta + D                    # o in [-D, D] -> [0, 2D]
+    o_hi = jnp.minimum(o_lo + 1, n_off - 1)
     S = (onehot(o_lo, l_r, Sz_lower * Sr_lower * ok)
          + onehot(o_lo, u_r, Sz_lower * Sr_upper * ok)
          + onehot(o_hi, l_r, Sz_upper * Sr_lower * ok)
@@ -236,7 +248,7 @@ def gather_fields_sorted(
     Fg = jnp.concatenate([guard_sign[None, None, :] * F[:, :1], F],
                          axis=1)                    # (Nz, Nr+1, C)
     F_ext = jnp.concatenate(
-        [jnp.roll(Fg, -o, axis=0) for o in (-1, 0, 1)], axis=1)
+        [jnp.roll(Fg, -o, axis=0) for o in range(-D, D + 1)], axis=1)
 
     Fm = jnp.einsum("bkj,bjc->bkc", S, F_ext, precision=prec,
                     preferred_element_type=rdt)     # (Nz, K, C)

@@ -410,7 +410,7 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
                          dt_half, Nm, invdz, zmin, Nz, invdr, rmin, Nr,
                          ruyten_linear, zfold="periodic", comp=None,
                          with_drho=False, with_rho=True,
-                         sort_at_start=False):
+                         sort_at_start=False, vz_shift=0.0, drift=0):
     """Fused J (at the current positions) + rho (at the positions one
     half push later) from ONE padded gather.
 
@@ -429,15 +429,26 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     layout, so by J time positions have drifted up to c*dt/2 from the
     sort columns; all z offset windows widen by one cell each way.
 
+    vz_shift: Galilean grid speed v_comoving.  `zmin` is then the grid
+    edge at the J-deposit time; the rho/drho endpoint positions advance
+    relative to a grid that itself flows, so their effective z velocity
+    is (vz - vz_shift).  The existing offset windows cover the
+    counter-streaming worst case |vz - vz_shift| <= 2c under the CFL
+    c*dt <= dz.
+
     Returns (Jr, Jt, Jz, rho) raw grids (not divided by cell volume).
     """
     # z-offset windows relative to the sort column (see
     # _padded_geometry): exact-sort J offsets are {-1, 0}; a half-push
     # drift adds +-1 (the +-0.5-cell drift can cross a boundary, and
     # f32 rounding at the exact half-cell edge adds one more knife
-    # edge each way)
-    dj_lo, dj_hi = (-2, 1) if sort_at_start else (-1, 0)
-    dr_lo, dr_hi = (-3, 2) if sort_at_start else (-2, 1)
+    # edge each way).  `drift` (lazy re-sort: the sort plan is up to
+    # sort_every-1 steps old, so positions have strayed up to `drift`
+    # extra cells from their column) widens every window symmetrically.
+    dj_lo, dj_hi = (-2 - drift, 1 + drift) if sort_at_start \
+        else (-1 - drift, drift)
+    dr_lo, dr_hi = (-3 - drift, 2 + drift) if sort_at_start \
+        else (-2 - drift, 1 + drift)
     if comp is not None:
         (x, y, z, w, ux, uy, uz, inv_gamma,
          cx, cy, cz) = _padded_arrays(
@@ -479,7 +490,7 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     if with_rho:
         x2 = x + chdt * inv_gamma * ux
         y2 = y + chdt * inv_gamma * uy
-        z2 = z + chdt * inv_gamma * uz
+        z2 = z + chdt * inv_gamma * uz - vz_shift * dt_half
         geom2 = _padded_geometry(sort, x2, y2, z2, invdz, zmin, Nz,
                                  invdr, rmin, Nr, ruyten_linear, zfold,
                                  delta_lo=dr_lo, delta_hi=dr_hi, comp=comp)
@@ -503,7 +514,8 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     # larger than the per-step density change the correction divides
     # by dt.  Cell-boundary crossers are routed to the right
     # column-offset block by floor-splitting (exact in z).
-    hz = chdt * inv_gamma * uz * invdz                    # half-step, cells
+    hz = (chdt * inv_gamma * uz
+          - vz_shift * dt_half) * invdz                   # half-step, cells
     vr = geom["cos"] * ux + geom["sin"] * uy
     hr = chdt * inv_gamma * vr * invdr
 
@@ -727,7 +739,8 @@ def deposit_rho_J_sorted_cubic(sort, x, y, z, w, q, ux, uy, uz,
                                inv_gamma, dt_half, Nm, invdz, zmin, Nz,
                                invdr, rmin, Nr, ruyten_cubic,
                                zfold="periodic", comp=None,
-                               with_drho=False, with_rho=True):
+                               with_drho=False, with_rho=True,
+                               vz_shift=0.0):
     """Cubic counterpart of deposit_rho_J_sorted: fused J (current
     positions) + rho (half-pushed) + optional telescoped drho from one
     padded gather and MXU one-hot contractions.
@@ -772,7 +785,7 @@ def deposit_rho_J_sorted_cubic(sort, x, y, z, w, q, ux, uy, uz,
     if with_rho:
         x2 = x + chdt * inv_gamma * ux
         y2 = y + chdt * inv_gamma * uy
-        z2 = z + chdt * inv_gamma * uz
+        z2 = z + chdt * inv_gamma * uz - vz_shift * dt_half
         geom2 = _padded_geometry_cubic(sort, x2, y2, z2, invdz, zmin,
                                        Nz, invdr, rmin, Nr, ruyten_cubic,
                                        zfold, delta_lo=-3, delta_hi=-1,
@@ -794,7 +807,7 @@ def deposit_rho_J_sorted_cubic(sort, x, y, z, w, q, ux, uy, uz,
     # floor-split to the right offset block (exact in z; radial
     # crossers keep the mid bin frame -- O(crossing-depth^2), same
     # approximation as the linear path).
-    hz = chdt * inv_gamma * uz * invdz
+    hz = (chdt * inv_gamma * uz - vz_shift * dt_half) * invdz
     vr = geom["cos"] * ux + geom["sin"] * uy
     hr = chdt * inv_gamma * vr * invdr
 

@@ -42,6 +42,14 @@ class SpeciesConfig:
     # step -- field gather becomes an MXU contraction).  Set by
     # Simulation when it sizes the capacity; see step._resident_indices.
     resident: bool = False
+    # Lazy re-sort cadence for resident species: rebuild the column
+    # sort every `sort_every` steps and, in between, reuse the stored
+    # (Nz, K) row layout (rolled with the moving window) with
+    # deposit/gather offset windows widened by the accumulated stray.
+    # Must divide the effective exchange_period when continuous
+    # injection is active (injection rewrites storage; the step clamps
+    # it).  1 = sort every step.
+    sort_every: int = 1
 
 
 @pytree_dataclass
@@ -85,8 +93,14 @@ def _round_capacity(n, multiple=256):
     return max(multiple, int(-(-n // multiple) * multiple))
 
 
-def pad_particle_state(sp: ParticleState, new_cap: int) -> ParticleState:
+def pad_particle_state(sp: ParticleState, new_cap: int,
+                       row_shape=None) -> ParticleState:
     """Grow every per-particle array to ``new_cap`` with dead slots.
+
+    row_shape=(Nz, K_old): pad each of the Nz rows of the stored
+    column-padded layout to the new per-row capacity instead of
+    appending at the array end (required when the species uses the
+    lazy re-sort, whose between-sort layout is positional).
 
     Used when a resident species' sort_K is auto-bumped: residency
     requires capacity == Nz * sort_K (step._resident_indices), so the
@@ -101,6 +115,13 @@ def pad_particle_state(sp: ParticleState, new_cap: int) -> ParticleState:
         raise ValueError(f"cannot shrink capacity {old} -> {new_cap}")
     if new_cap == old:
         return sp
+    if row_shape is not None:
+        # Row-aware repad: the stored order IS a (Nz, K_old) layout
+        # (lazy re-sort keeps it between sorts), so the new dead slots
+        # must go at the tail of EVERY row, not at the array end.
+        Nz_rows, K_old = row_shape
+        assert Nz_rows * K_old == old and new_cap % Nz_rows == 0
+        K_new = new_cap // Nz_rows
     updates = {}
     for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w",
                  "ionization_level", "ids", "ids_hi",
@@ -109,6 +130,12 @@ def pad_particle_state(sp: ParticleState, new_cap: int) -> ParticleState:
         if arr is None:
             continue
         fill = 1.0 if name == "inv_gamma" else 0.0
+        if row_shape is not None:
+            pad = jnp.full((Nz_rows, K_new - K_old), fill,
+                           dtype=arr.dtype)
+            updates[name] = jnp.concatenate(
+                [arr.reshape(Nz_rows, K_old), pad], axis=1).reshape(-1)
+            continue
         pad = jnp.full((new_cap - old,), fill, dtype=arr.dtype)
         updates[name] = jnp.concatenate([arr, pad])
     return dataclasses.replace(sp, **updates)

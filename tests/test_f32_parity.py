@@ -41,7 +41,7 @@ sim = Simulation(Nz, zmax, Nr, rmax, Nm, dt,
                  p_zmin=12.e-6, p_zmax=500.e-6, p_rmin=0.,
                  p_rmax=18.e-6, p_nz=2, p_nr=2, p_nt=4, n_e=8.e24,
                  n_order=16, boundaries={"z": "open", "r": "reflective"},
-                 random_seed=0, verbose_level=0)
+                 exchange_period=4, random_seed=0, verbose_level=0)
 add_laser_pulse(sim, GaussianLaser(a0=0.01, waist=10.e-6, tau=6.e-6 / c,
                                    z0=9.e-6, theta_pol=np.pi / 2))
 sim.set_moving_window(v=c)

@@ -168,3 +168,67 @@ if __name__ == "__main__":
     test_resident_ids_follow_particles()
     test_resident_ids_invariant_for_static_particles()
     test_resident_autobump_reallocates()
+
+
+def test_lazy_sort_matches_every_step_sort():
+    """sort_every=4 (lazy re-sort: stored rows reused between sorts,
+    widened deposit/gather windows) must match sort_every=1 physics --
+    the per-particle contributions are identical, only the contraction
+    summation grouping differs (f64 gate well above order-rounding)."""
+    def run(sort_every):
+        sim, _ = _make(resident=True, uz_m=0.3)
+        sim.species_configs[0] = dataclasses.replace(
+            sim.species_configs[0], sort_every=sort_every)
+        sim.step(10, show_progress=False)
+        return np.asarray(sim.state.interp.Ez.re)
+
+    a = run(1)
+    b = run(4)
+    scale = np.max(np.abs(a))
+    assert scale > 0
+    err = np.max(np.abs(a - b)) / scale
+    print("lazy-sort parity:", err)
+    assert err < 1e-9
+
+
+def test_lazy_sort_moving_window():
+    """Lazy re-sort under a moving window: every shift rolls the stored
+    rows, injection steps coincide with sort steps (the step clamps the
+    cadence to divide the exchange period), and the open-z removal
+    keeps the wrapped rows dead.  Full production mechanics on a small
+    LWFA config, f64, vs the every-step-sort run."""
+    from fbpic_tpu.constants import c
+    from fbpic_tpu.lpa_utils.laser import add_laser_pulse, GaussianLaser
+
+    NZ_PHYS, NR, NM = 130, 16, 2
+    ZMAX, ZMIN, RMAX = 12.e-6, -4.e-6, 10.e-6
+    dz = (ZMAX - ZMIN) / NZ_PHYS
+    dt = dz / c
+
+    def run(sort_every):
+        sim = Simulation(
+            NZ_PHYS, ZMAX, NR, RMAX, NM, dt, zmin=ZMIN,
+            n_order=16, boundaries={"z": "open", "r": "reflective"},
+            exchange_period=4, random_seed=0, verbose_level=0)
+        sim.use_fused_deposit = True
+        sim.add_new_species(q=-e, m=m_e, n=5.e24,
+                            p_zmin=2.e-6, p_zmax=100.e-6, p_rmin=0.,
+                            p_rmax=9.e-6, p_nz=1, p_nr=2, p_nt=4,
+                            continuous_injection=True, sort_K=256)
+        add_laser_pulse(sim, GaussianLaser(a0=0.5, waist=4.e-6,
+                                           tau=8.e-15, z0=6.e-6))
+        sim.set_moving_window(v=c)
+        sc = sim.species_configs[0]
+        assert sc.resident, "sort_K + fused must produce residency"
+        sim.species_configs[0] = dataclasses.replace(
+            sc, sort_every=sort_every)
+        sim.step(40, show_progress=False)
+        return np.asarray(sim.state.interp.Ez.re)
+
+    a = run(1)
+    b = run(4)
+    scale = np.max(np.abs(a))
+    assert scale > 0
+    err = np.max(np.abs(a - b)) / scale
+    print("lazy-sort moving-window parity:", err)
+    assert err < 1e-9
