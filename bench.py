@@ -25,9 +25,10 @@ at 576k particles breaks down as: column sort 8.3 ms + padded relayout
 ~3 ms, gather contraction ~1.5 ms, spectral transforms + push + window
 the rest.  History: r1 71 ns/p/step (f32 physics WRONG), r2 90 ns
 (f32-correct drho machinery), r3 57.8 ns (resident layout), r4 44.3 ns
-(bf16-split contraction) -> lazy re-sort (sort_every=4: the sort +
-relayout amortize 4x, deposits/gather run on the stored rows with
-widened offset windows) targets the remaining sort dominance.
+(bf16-split contraction) -> banded re-sort (the stored (Nz, K) rows
+were the exact sort one step ago, so one batched row-wise sort over
+the 2*band+1 neighbor rows replaces the flat sort + relayout on
+non-injection steps) targets the remaining sort dominance.
 """
 import json
 import time

@@ -286,18 +286,6 @@ class Simulation:
                 cells_per_step = 2.0 * c * dt / dz
                 exchange_period = max(
                     1, int((n_guard_ / 2 - 3) / cells_per_step))
-                # Round DOWN to a multiple of the lazy re-sort cadence
-                # (always safe: smaller periods only add exchanges) so
-                # resident species keep sort_every > 1 -- injection
-                # steps must be sort steps (step._eff_sort_every).
-                # Only where residency can exist (accelerators / f32):
-                # the f64 CPU cadence stays the reference-rule value.
-                from ..utils.dtypes import x64_enabled
-                se = max(1, int(os.environ.get("FBPIC_TPU_SORT_EVERY",
-                                               "4")))
-                if (exchange_period > se
-                        and (_on_accelerator() or not x64_enabled())):
-                    exchange_period = (exchange_period // se) * se
             else:
                 exchange_period = 1
         self.exchange_period = max(1, int(exchange_period))
@@ -576,16 +564,25 @@ class Simulation:
                 capacity = cap_resident
                 resident = True
 
-        # Lazy re-sort cadence for resident species: the full payload
-        # sort + relayout dominates the TPU step (~13 of 26 ms at the
-        # bench size), and positions stray <= c*dt/dz cells per step,
-        # so re-sorting every few steps with widened deposit/gather
-        # offset windows amortizes it.  The step clamps the cadence to
-        # divide the effective exchange period (injection steps must
-        # be sort steps).
-        sort_every = 1
-        if resident:
-            sort_every = int(os.environ.get("FBPIC_TPU_SORT_EVERY", "4"))
+        # Re-sort strategy for resident species: the flat payload sort
+        # + (Nz, K) relayout dominates the TPU step (~13 of 26 ms at
+        # the bench size), but positions move at most
+        # band = ceil((c + |v_galilean|) * dt / dz) columns per step,
+        # so the per-step banded re-sort (one batched row-wise sort
+        # over the 2*band+1 neighbor rows, everything staying in the
+        # tiled layout) replaces it whenever the band is small; the
+        # step still runs the flat sort on the storage-rewriting
+        # exchange/injection steps.  FBPIC_TPU_RESORT=full opts out.
+        resort = "full"
+        if resident and os.environ.get(
+                "FBPIC_TPU_RESORT", "banded") == "banded":
+            vg = abs(self.config.v_comoving) if (
+                self.config.use_comoving
+                and self.config.use_galilean) else 0.0
+            band = max(1, int((c + vg) * self.config.dt
+                              / self.config.dz - 1e-9) + 1)
+            if band <= 2:
+                resort = "banded"
 
         sc = SpeciesConfig(
             q=q, m=m, particle_shape=self.config.particle_shape,
@@ -593,7 +590,7 @@ class Simulation:
             name=name or f"species{len(self.species_configs)}",
             sort_K=int(sort_K),
             resident=resident,
-            sort_every=max(1, sort_every),
+            resort=resort,
         )
         pstate = make_particle_state(x, y, z, ux, uy, uz, inv_gamma, w,
                                      capacity=capacity)

@@ -31,8 +31,8 @@ from ..particles.deposit import (
     deposit_rho_linear, deposit_J_linear, deposit_rho_cubic, deposit_J_cubic,
 )
 from ..particles.sorted_deposit import (
-    build_column_sort, deposit_rho_sorted, deposit_J_sorted,
-    deposit_rho_J_sorted, deposit_rho_J_sorted_cubic,
+    build_column_sort, banded_column_resort, deposit_rho_sorted,
+    deposit_J_sorted, deposit_rho_J_sorted, deposit_rho_J_sorted_cubic,
 )
 from .state import SimState
 
@@ -947,23 +947,16 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # re-flattened padded arrays become the new state.  This
         # removes the serialized per-index field gather (~8 ms at
         # production size) and the separate mid-step sort.
-        # Lazy re-sort cadence: between sorts the stored (Nz, K) row
-        # layout IS the plan (rolled with the moving window below);
-        # positions stray <= drift extra cells from their row, covered
-        # by widened deposit/gather offset windows.  Sorts must land on
-        # every injection step (injection rewrites storage), so the
-        # cadence is clamped to divide the effective exchange period.
+        # Banded re-sort (resort == "banded"): the stored rows were the
+        # exact column sort one step ago (rolled with the moving window
+        # below), so particles sit within `band` rows of their column
+        # and one batched row-wise sort over the neighbor rows replaces
+        # the flat sort + relayout (~10x cheaper); the flat sort still
+        # runs on the steps whose exchange/injection block above
+        # rewrote the storage order (and periodically as a safety
+        # re-anchor when nothing ever rewrites it).
         cells_per_step = max(1, int(c * dt / config.dz - 1e-9) + 1)
-
-        def _eff_sort_every(i, sc):
-            eff = max(1, int(sc.sort_every))
-            has_inj = (options.moving_window_v is not None
-                       and options.injectors
-                       and options.injectors[i] is not None)
-            if has_inj:
-                while exchange_period % eff != 0:
-                    eff -= 1
-            return eff
+        band = max(1, int((c + abs(vg)) * dt / config.dz - 1e-9) + 1)
 
         for i in sorted(resident_idx):
             sp, sc = species[i], species_configs[i]
@@ -985,28 +978,39 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             n_float = len(payload)
             if has_ids:
                 payload += [sp.ids, sp.ids_hi]
-            eff_sort = _eff_sort_every(i, sc)
-            drift = (eff_sort - 1) * cells_per_step
-            if eff_sort == 1:
+            if sc.resort != "banded":
                 sort = build_column_sort(sp.z, sp.w, zmin,
                                          1.0 / config.dz,
                                          config.Nz, K,
                                          payload=tuple(payload))
             else:
-                def _sort_branch(pl):
+                def _full_branch(pl):
                     s = build_column_sort(pl[2], pl[3], zmin,
                                           1.0 / config.dz, config.Nz,
                                           K, payload=pl)
                     return (tuple(s["padded"]), s["valid"], s["n_over"])
 
-                def _reuse_branch(pl):
+                def _banded_branch(pl):
                     padded = tuple(a.reshape(config.Nz, K) for a in pl)
-                    return (padded, padded[3] != 0,
-                            jnp.zeros((), jnp.int32))
+                    s = banded_column_resort(
+                        padded, zmin, 1.0 / config.dz, config.Nz, K,
+                        band, zfold=_zfold(config))
+                    return (tuple(s["padded"]), s["valid"], s["n_over"])
 
-                do_sort = (state.iteration % eff_sort) == 0
+                if config.boundaries_z == "open":
+                    # exchange/injection (when active) rewrote the
+                    # storage order at the start of THIS step
+                    do_full = ((state.iteration % exchange_period) == 0
+                               if exchange_period > 1
+                               else jnp.asarray(True))
+                else:
+                    # nothing rewrites resident storage mid-run; the
+                    # periodic re-anchor covers the initial creation
+                    # order (iteration 0) and any host-side edits
+                    do_full = (state.iteration % 64) == 0
                 padded_t, valid_t, n_over_t = jax.lax.cond(
-                    do_sort, _sort_branch, _reuse_branch, tuple(payload))
+                    do_full, _full_branch, _banded_branch,
+                    tuple(payload))
                 sort = dict(padded=list(padded_t), valid=valid_t,
                             n_over=n_over_t)
             # In resident mode a column-K overflow LOSES the excess
@@ -1027,7 +1031,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 psp.x, psp.y, psp.z, valid, interp, options.rmax_gather,
                 1.0 / config.dz, zmin, config.Nz,
                 1.0 / config.dr, 0.0, config.Nr, comp=_comp_of(psp),
-                drift=drift, zfold=_zfold(config))
+                zfold=_zfold(config))
             E, B = EB[:3], EB[3:]
             if options.external_fields:
                 fields = dict(Ex=E[0], Ey=E[1], Ez=E[2],
@@ -1065,7 +1069,7 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 1.0 / config.dr, 0.0, config.Nr, aux.ruyten_linear,
                 zfold=_zfold(config), comp=_comp_of(psp),
                 with_drho=want_drho, with_rho=not want_drho,
-                sort_at_start=True, vz_shift=vg, drift=drift)
+                sort_at_start=True, vz_shift=vg)
             fused_J[i] = out[:3]
             fused_rho[i] = out[3]
             if want_drho:
@@ -1394,16 +1398,18 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                                + 1e-3).astype(jnp.int32)
             spect = shift_spectral_fields(config, aux, spect, n_move)
             zmin = zmin + n_move.astype(zmin.dtype) * config.dz
-            # Lazy-resident species: the shift re-labels grid columns,
-            # so roll the stored rows to keep row == column.  The
-            # wrapped-in rightmost rows are zeroed (their content was
-            # the leftmost columns' -- already outside the removal
+            # Banded-resident species: the shift re-labels grid
+            # columns, so roll the stored rows to keep row == column
+            # (the roll cancels the n_move relabeling exactly; the
+            # banded re-sort's band then only covers physical motion).
+            # The wrapped-in rightmost rows are zeroed (their content
+            # was the leftmost columns' -- already outside the removal
             # bound, dead or about to be removed; the removal margin
             # n_guard >> exchange_period * cells_per_step guarantees
             # no live particle sits there between exchanges).
             for ri in sorted(resident_idx):
                 rsc = species_configs[ri]
-                if _eff_sort_every(ri, rsc) == 1:
+                if rsc.resort != "banded":
                     continue
                 rsp = species[ri]
                 rK = rsc.sort_K

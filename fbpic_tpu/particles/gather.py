@@ -167,9 +167,10 @@ def gather_fields_sorted(
     F_ext[col, (o, r), ch] = F[clip/mod(col + o), r, ch].  The
     below-axis guard sign flips ride on the F side as a signed guard
     row.  Requires the sort columns to be within 1 + `drift` cells of
-    the particle positions (exact at sort time; with the lazy re-sort
-    the plan is up to sort_every-1 steps old, so pass the extra stray
-    bound as `drift` -- the z-offset window widens to +-(1 + drift)).
+    the particle positions (exact at sort time; for a stale sort plan
+    pass the extra stray bound as `drift` -- the z-offset window
+    widens to +-(1 + drift); the banded re-sort keeps the plan exact,
+    so production passes drift=0).
 
     Returns (Ex, Ey, Ez, Bx, By, Bz) as (Nz, K) arrays (invalid slots
     zero).  Behavioral reference:

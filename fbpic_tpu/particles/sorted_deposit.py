@@ -154,6 +154,64 @@ def build_column_sort(z, w, zmin, invdz, Nz, K, payload=None):
     return dict(valid=valid, n_over=n_over, padded=padded_out)
 
 
+def banded_column_resort(padded, zmin, invdz, Nz, K, band,
+                         zfold="periodic"):
+    """Per-step re-sort of an already column-aligned padded layout.
+
+    ``padded``: tuple of (Nz, K) channel arrays in build_column_sort
+    payload order -- z is channel 2, w channel 3.  The layout was the
+    exact column sort ONE step ago (rolled with the moving window), so
+    every live particle's current column is within ``band`` rows of its
+    stored row (band = ceil((c + |v_galilean|) * dt / dz); the window
+    roll cancels the n_move relabeling exactly).
+
+    Candidates for destination row d are the slots of rows
+    d-band .. d+band (jnp.roll copies along z), kept where their
+    current column equals d, compacted by ONE batched row-wise
+    lax.sort along the slot axis.  Everything stays in the tiled
+    (Nz, (2*band+1)*K) layout: no flat (Nz*K,) relayout, no
+    searchsorted, no big-slice gather -- measured ~10x cheaper than
+    the flat-sort path it bypasses (flat lax.sort with 13 payload
+    channels + the (Cg, K) block gather).
+
+    Returns dict(padded=list, valid=(Nz, K) bool, n_over=int32) like
+    build_column_sort.  ``n_over`` counts BOTH per-row kept candidates
+    beyond K (column overflow, as the flat sort) and live particles
+    whose column escaped the band (impossible while the band bound
+    holds -- counted so a violation is loud, not silent loss).
+
+    For periodic z the column residue is centered (seam crossers stay
+    in band; the candidate rolls wrap, matching the geometry).  For
+    open z ('clamp') the column clips to [0, Nz-1] exactly like
+    build_column_sort, so edge particles stay in their edge row.
+    """
+    z, w = padded[2], padded[3]
+    col = jnp.clip(jnp.floor(invdz * (z - zmin)).astype(jnp.int32),
+                   0, Nz - 1)
+    live = w != 0
+    offsets = range(-band, band + 1)
+    M = (2 * band + 1) * K
+
+    def expand(a):
+        return jnp.concatenate(
+            [jnp.roll(a, -o, axis=0) for o in offsets], axis=1)
+
+    dest = jnp.arange(Nz, dtype=jnp.int32)[:, None]
+    delta = expand(col) - dest
+    if zfold == "periodic":
+        delta = jnp.mod(delta + Nz // 2, Nz) - Nz // 2
+    kept = expand(live) & (delta == 0)
+    key = jnp.where(kept, jnp.arange(M, dtype=jnp.int32)[None, :], M)
+    outs = jax.lax.sort((key,) + tuple(expand(a) for a in padded),
+                        dimension=1, num_keys=1)
+    valid = outs[0][:, :K] < M
+    new_padded = [o[:, :K] for o in outs[1:]]
+    kept_per_row = jnp.sum(kept, axis=1)
+    n_over = (jnp.sum(jnp.maximum(kept_per_row - K, 0))
+              + (jnp.sum(live) - jnp.sum(kept))).astype(jnp.int32)
+    return dict(padded=new_padded, valid=valid, n_over=n_over)
+
+
 def _padded_arrays(sort, arrays):
     """Gather the (Np,) arrays into padded (Nz, K) form.
 
@@ -442,9 +500,10 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     # _padded_geometry): exact-sort J offsets are {-1, 0}; a half-push
     # drift adds +-1 (the +-0.5-cell drift can cross a boundary, and
     # f32 rounding at the exact half-cell edge adds one more knife
-    # edge each way).  `drift` (lazy re-sort: the sort plan is up to
-    # sort_every-1 steps old, so positions have strayed up to `drift`
-    # extra cells from their column) widens every window symmetrically.
+    # edge each way).  `drift` (a stale sort plan: positions strayed
+    # up to `drift` extra cells from their stored column) widens every
+    # window symmetrically; the banded re-sort keeps the plan exact,
+    # so production passes drift=0.
     dj_lo, dj_hi = (-2 - drift, 1 + drift) if sort_at_start \
         else (-1 - drift, drift)
     dr_lo, dr_hi = (-3 - drift, 2 + drift) if sort_at_start \

@@ -42,14 +42,16 @@ class SpeciesConfig:
     # step -- field gather becomes an MXU contraction).  Set by
     # Simulation when it sizes the capacity; see step._resident_indices.
     resident: bool = False
-    # Lazy re-sort cadence for resident species: rebuild the column
-    # sort every `sort_every` steps and, in between, reuse the stored
-    # (Nz, K) row layout (rolled with the moving window) with
-    # deposit/gather offset windows widened by the accumulated stray.
-    # Must divide the effective exchange_period when continuous
-    # injection is active (injection rewrites storage; the step clamps
-    # it).  1 = sort every step.
-    sort_every: int = 1
+    # Re-sort strategy for resident species.  "full": rebuild the flat
+    # column sort every step (build_column_sort payload path).
+    # "banded": per-step banded re-sort of the stored (Nz, K) rows
+    # (positions move <= band columns per step; one batched row-wise
+    # sort over the 2*band+1 neighbor rows' slots -- ~10x cheaper than
+    # the flat sort, sorted_deposit.banded_column_resort), with a full
+    # flat sort on the steps whose exchange/injection block rewrites
+    # the storage order.  Simulation picks "banded" when the per-step
+    # band is small (FBPIC_TPU_RESORT=full opts out).
+    resort: str = "full"
 
 
 @pytree_dataclass

@@ -170,33 +170,37 @@ if __name__ == "__main__":
     test_resident_autobump_reallocates()
 
 
-def test_lazy_sort_matches_every_step_sort():
-    """sort_every=4 (lazy re-sort: stored rows reused between sorts,
-    widened deposit/gather windows) must match sort_every=1 physics --
-    the per-particle contributions are identical, only the contraction
-    summation grouping differs (f64 gate well above order-rounding)."""
-    def run(sort_every):
+def test_banded_resort_matches_full_sort():
+    """The banded per-step re-sort (one batched row-wise sort over the
+    neighbor rows of the stored layout) must match the full flat sort
+    physics -- the per-particle contributions are identical, only the
+    intra-column particle ORDER may differ (f64 gate well above
+    order-rounding).  Also pins that zero particles are lost to the
+    band (sort_overflow stays 0)."""
+    def run(resort):
         sim, _ = _make(resident=True, uz_m=0.3)
         sim.species_configs[0] = dataclasses.replace(
-            sim.species_configs[0], sort_every=sort_every)
+            sim.species_configs[0], resort=resort)
+        assert sim.species_configs[0].resort == resort
         sim.step(10, show_progress=False)
         return np.asarray(sim.state.interp.Ez.re)
 
-    a = run(1)
-    b = run(4)
+    a = run("full")
+    b = run("banded")
     scale = np.max(np.abs(a))
     assert scale > 0
     err = np.max(np.abs(a - b)) / scale
-    print("lazy-sort parity:", err)
+    print("banded-resort parity:", err)
     assert err < 1e-9
 
 
-def test_lazy_sort_moving_window():
-    """Lazy re-sort under a moving window: every shift rolls the stored
-    rows, injection steps coincide with sort steps (the step clamps the
-    cadence to divide the exchange period), and the open-z removal
-    keeps the wrapped rows dead.  Full production mechanics on a small
-    LWFA config, f64, vs the every-step-sort run."""
+def test_banded_resort_moving_window():
+    """Banded re-sort under a moving window: every shift rolls the
+    stored rows (cancelling the n_move relabeling so the band only
+    covers physical motion), injection/exchange steps fall back to the
+    full flat sort, and the open-z removal keeps the wrapped rows dead.
+    Full production mechanics on a small LWFA config, f64, vs the
+    full-sort-every-step run."""
     from fbpic_tpu.constants import c
     from fbpic_tpu.lpa_utils.laser import add_laser_pulse, GaussianLaser
 
@@ -205,7 +209,7 @@ def test_lazy_sort_moving_window():
     dz = (ZMAX - ZMIN) / NZ_PHYS
     dt = dz / c
 
-    def run(sort_every):
+    def run(resort):
         sim = Simulation(
             NZ_PHYS, ZMAX, NR, RMAX, NM, dt, zmin=ZMIN,
             n_order=16, boundaries={"z": "open", "r": "reflective"},
@@ -220,15 +224,14 @@ def test_lazy_sort_moving_window():
         sim.set_moving_window(v=c)
         sc = sim.species_configs[0]
         assert sc.resident, "sort_K + fused must produce residency"
-        sim.species_configs[0] = dataclasses.replace(
-            sc, sort_every=sort_every)
+        sim.species_configs[0] = dataclasses.replace(sc, resort=resort)
         sim.step(40, show_progress=False)
         return np.asarray(sim.state.interp.Ez.re)
 
-    a = run(1)
-    b = run(4)
+    a = run("full")
+    b = run("banded")
     scale = np.max(np.abs(a))
     assert scale > 0
     err = np.max(np.abs(a - b)) / scale
-    print("lazy-sort moving-window parity:", err)
+    print("banded-resort moving-window parity:", err)
     assert err < 1e-9
