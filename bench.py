@@ -15,20 +15,23 @@ this workload (the reference publishes no absolute numbers, and it
 cannot run here: no numba, 1 CPU core -- see BASELINE.md).
 >1.0 means faster than the target.
 
-Cost model (r4, per-op device profile via tools/profile_ops.py; the
-shared dev chip shows +-30% run-to-run wall-clock variance, so single
-bench numbers are noisy).  With the resident column-padded layout live
-(one payload sort per step, MXU contraction gather, fused J+drho
-deposit with per-block bf16 splits) the 26 ms attributed device time
-at 576k particles breaks down as: column sort 8.3 ms + padded relayout
-4.7 ms (a serialized XLA big-slice gather loop), deposit contractions
-~3 ms, gather contraction ~1.5 ms, spectral transforms + push + window
-the rest.  History: r1 71 ns/p/step (f32 physics WRONG), r2 90 ns
-(f32-correct drho machinery), r3 57.8 ns (resident layout), r4 44.3 ns
-(bf16-split contraction) -> banded re-sort (the stored (Nz, K) rows
-were the exact sort one step ago, so one batched row-wise sort over
-the 2*band+1 neighbor rows replaces the flat sort + relayout on
-non-injection steps) targets the remaining sort dominance.
+Cost model (r4 post-banded, device timeline via tools/trace_idle.py;
+the shared dev chip shows +-30% run-to-run wall-clock variance, so
+single bench numbers are noisy).  At 576k particles the step is
+~22 ms wall, ~21.7 ms device-busy / 1.8 ms idle.  The banded re-sort
+(one row-wise multi-payload lax.sort over the 3 neighbor rows) made
+sorting near free -- 0.07-0.37 ms standalone (tools/resort_bench.py;
+per-op profiles over-attribute sort spans ~30x, do not trust them).
+Remaining breakdown (span-summed categories): elementwise loop
+fusions 4.2 ms across ~400 ops, spectral-transform convolutions
+3.1 ms, deposit/gather contraction custom fusions 2.4 ms, data
+formatting ~1 ms, the rest in the fused deposit's bf16 one-hot
+blocks and the PSATD push.  History: r1 71 ns/p/step (f32 physics
+WRONG), r2 90 ns (f32-correct drho machinery), r3 57.8 ns (resident
+layout), r4 44.3 ns (bf16-split contraction) -> 38.2 ns (banded
+re-sort: the stored (Nz, K) rows were the exact sort one step ago,
+so one batched row-wise sort over the 2*band+1 neighbor rows
+replaces the flat sort + relayout on non-injection steps).
 """
 import json
 import time
