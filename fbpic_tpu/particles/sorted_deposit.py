@@ -625,13 +625,24 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     # ONE contraction for J + drho: they share the mid-position
     # one-hot S, and merging fills the MXU lanes far better than a
     # separate 40-channel drho pass
-    V_D = _build_V_span_diff(span, ph_a, ph_b, wj, meta2_, ruyten_linear,
-                             n_blocks=len(o_range))
     Nrb = Nr + 2 * NGUARD
-    S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=x.dtype)
-    V_J = _build_V(geom, channels, meta)
-    W_J = sum(b.shape[2] for b in V_J)
-    out_all = _contract(S, V_J + V_D)
+    n_offJ = dj_hi + 2 - dj_lo
+    W_J = n_offJ * 2 * channels.shape[2]
+    from .pallas_fused import pallas_fused_enabled, fused_onehot_contract
+    if pallas_fused_enabled(x.dtype):
+        # Pallas kernel: V and the one-hot S built in VMEM, identical
+        # bf16-split math -- the XLA path's (Nz, K, W) V terms never
+        # hit HBM (see pallas_fused.py)
+        out_all = fused_onehot_contract(
+            geom, channels, meta, span, ph_b - ph_a, ph_b, wj,
+            ruyten_linear, Nm, Nz, Nr,
+            n_offJ=n_offJ, n_offD=len(o_range))
+    else:
+        V_D = _build_V_span_diff(span, ph_a, ph_b, wj, meta2_,
+                                 ruyten_linear, n_blocks=len(o_range))
+        S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=x.dtype)
+        V_J = _build_V(geom, channels, meta)
+        out_all = _contract(S, V_J + V_D)
     out_J = _reassemble(out_all[..., :W_J], Nz, Nr, zfold, dj_lo, dj_hi,
                         channels.shape[2])
     Jr, Jt, Jz = _unpack_channels(out_J, 3, Nm)
