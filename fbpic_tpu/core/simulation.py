@@ -574,14 +574,22 @@ class Simulation:
         # step still runs the flat sort on the storage-rewriting
         # exchange/injection steps.  FBPIC_TPU_RESORT=full opts out.
         resort = "full"
+        if os.environ.get("FBPIC_TPU_SORT_EVERY") is not None:
+            warnings.warn(
+                "FBPIC_TPU_SORT_EVERY was removed: resident species "
+                "now re-sort every step (banded). Use "
+                "FBPIC_TPU_RESORT=full to opt out of the banded "
+                "re-sort.", stacklevel=2)
         if resident and os.environ.get(
                 "FBPIC_TPU_RESORT", "banded") == "banded":
             vg = abs(self.config.v_comoving) if (
                 self.config.use_comoving
                 and self.config.use_galilean) else 0.0
+            # Mirrors step.py's band (analytic ceil + 1 f32 rounding
+            # margin); must stay in sync with the value used there.
             band = max(1, int((c + vg) * self.config.dt
-                              / self.config.dz - 1e-9) + 1)
-            if band <= 2:
+                              / self.config.dz - 1e-9) + 1) + 1
+            if band <= 3:
                 resort = "banded"
 
         sc = SpeciesConfig(

@@ -956,7 +956,15 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # rewrote the storage order (and periodically as a safety
         # re-anchor when nothing ever rewrites it).
         cells_per_step = max(1, int(c * dt / config.dz - 1e-9) + 1)
-        band = max(1, int((c + abs(vg)) * dt / config.dz - 1e-9) + 1)
+        # +1 rounding margin on the analytic band: with dt = dz/c the
+        # physical bound is exactly 1 column, but the f32 cell
+        # coordinate of a particle at the cell edge can round across
+        # the next integer (the same knife edge the deposit windows
+        # widen for), moving it 2 columns in ONE step.  A particle
+        # escaping the band is PERMANENTLY dropped from the resident
+        # state (n_over auto-bumps sort_K, which cannot fix it), so
+        # the margin is mandatory; candidate rows 5 vs 3 are cheap.
+        band = max(1, int((c + abs(vg)) * dt / config.dz - 1e-9) + 1) + 1
 
         for i in sorted(resident_idx):
             sp, sc = species[i], species_configs[i]

@@ -338,12 +338,19 @@ BoostedFieldDiagnostic = BackTransformedFieldDiagnostic
 
 
 class BackTransformedParticleDiagnostic(OpenPMDDiagnostic):
-    """Catches particles crossing the snapshot planes and transforms
-    them to the lab frame (reference: boosted_particle_diag.py).
+    """Catches particles crossing the snapshot planes, advances them
+    ballistically to the crossing time, and transforms them to the lab
+    frame (reference: boosted_particle_diag.py:724-841).
 
-    Host-side: keeps the previous-step particle arrays to detect plane
-    crossings, interpolates the crossing time, and applies the inverse
-    Lorentz transform.
+    Each lab snapshot (fixed t_lab) is a plane moving at -c/beta in
+    the boosted frame.  A particle is caught when it crosses the plane
+    during the last step; its position is then pushed to the exact
+    intersection time t_cross before the inverse Lorentz transform, so
+    the lab-frame position carries no O(c*dt) smearing.  The
+    previous-step position is reconstructed from the current momentum
+    (z - vz*dt, as the reference does) rather than paired by array
+    index across steps -- the resident layout re-sorts storage order
+    every step, so index pairing would mismatch particles.
     """
 
     def __init__(self, zmin_lab, zmax_lab, v_lab, dt_snapshots_lab,
@@ -360,13 +367,22 @@ class BackTransformedParticleDiagnostic(OpenPMDDiagnostic):
                  zmin_lab=zmin_lab + v_lab * i * dt_snapshots_lab,
                  zmax_lab=zmax_lab + v_lab * i * dt_snapshots_lab)
             for i in range(Ntot_snapshots_lab)]
-        self._prev = {}
+        self._t_last = None
 
     def write(self, sim):
         if isinstance(sim, int):
             return
         gamma, beta = self.gamma_boost, self.beta_boost
         t_b = sim.time
+        dt = sim.dt
+        v_plane = -c / beta
+        if self._t_last is None or t_b <= self._t_last:
+            # Either no step has run yet (z - vz*dt would fabricate a
+            # pre-start position) or this time was already processed
+            # (step() re-invokes diagnostics at its start).
+            self._t_last = max(t_b, self._t_last or t_b)
+            return
+        self._t_last = t_b
         for name, view in self.species_dict.items():
             cur = {k: getattr(view, k) for k in
                    ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w")}
@@ -379,30 +395,43 @@ class BackTransformedParticleDiagnostic(OpenPMDDiagnostic):
                         state.ids_hi)[:len(cur["w"])].astype(np.uint64)
                     lo = (hi << np.uint64(32)) | lo
                 cur["ids"] = lo
-            prev = self._prev.get(name)
-            self._prev[name] = cur
-            if prev is None or len(prev["z"]) != len(cur["z"]):
-                continue
+            vz = cur["uz"] * cur["inv_gamma"] * c
+            z_prev = cur["z"] - vz * dt
             for snap in self.snapshots:
                 if snap["written"]:
                     continue
+                # Plane position in the boosted frame at t and t-dt
+                # (the plane itself moves at -c/beta)
                 z_plane = (snap["t_lab"] / gamma - t_b) * c / beta
-                crossed = (prev["z"] >= z_plane) & (cur["z"] < z_plane) \
-                    | (prev["z"] < z_plane) & (cur["z"] >= z_plane)
+                z_plane_prev = z_plane - v_plane * dt
+                crossed = ((cur["z"] >= z_plane)
+                           & (z_prev <= z_plane_prev)) \
+                    | ((cur["z"] <= z_plane)
+                       & (z_prev >= z_plane_prev))
                 crossed &= cur["w"] != 0
                 if not crossed.any():
                     continue
                 sel = {k: v[crossed] for k, v in cur.items()}
+                # Time at which each particle intersects the moving
+                # plane, then ballistic push to that time
+                # (reference: boosted_particle_diag.py:812-826)
+                vz_s = sel["uz"] * sel["inv_gamma"] * c
+                t_cross = t_b - (z_plane - sel["z"]) / (v_plane - vz_s)
+                dtc = c * (t_cross - t_b) * sel["inv_gamma"]
+                x_c = sel["x"] + dtc * sel["ux"]
+                y_c = sel["y"] + dtc * sel["uy"]
+                z_c = sel["z"] + dtc * sel["uz"]
                 # Lorentz transform to the lab frame (inverse boost)
+                # with the updated time t_cross
                 gamma_p = 1.0 / sel["inv_gamma"]
                 uz_lab = gamma * (sel["uz"] + beta * gamma_p)
                 gamma_lab = np.sqrt(1 + sel["ux"]**2 + sel["uy"]**2
                                     + uz_lab**2)
-                z_lab = gamma * (sel["z"] + beta * c * t_b)
+                z_lab = gamma * (z_c + beta * c * t_cross)
                 keep = (z_lab >= snap["zmin_lab"]) & \
                     (z_lab < snap["zmax_lab"])
                 buf = dict(
-                    x=sel["x"][keep], y=sel["y"][keep], z=z_lab[keep],
+                    x=x_c[keep], y=y_c[keep], z=z_lab[keep],
                     ux=sel["ux"][keep], uy=sel["uy"][keep],
                     uz=uz_lab[keep], w=sel["w"][keep],
                     inv_gamma=1.0 / gamma_lab[keep],

@@ -59,14 +59,16 @@ def _round_up(x, m):
 
 
 def pallas_available():
-    """True when Pallas/Mosaic TPU kernels can run (non-CPU backend)."""
+    """True when Pallas/Mosaic TPU kernels can run (TPU backend only:
+    the kernels use pltpu.VMEM BlockSpecs, which do not lower on
+    CUDA/ROCm)."""
     try:
         from jax.experimental import pallas as pl          # noqa: F401
         from jax.experimental.pallas import tpu as pltpu   # noqa: F401
     except Exception:
         return False
     try:
-        return jax.devices()[0].platform != "cpu"
+        return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
 

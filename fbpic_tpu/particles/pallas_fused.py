@@ -17,13 +17,18 @@ at bench size): the XLA path is purely HBM-bound.
 This kernel builds V and the one-hot S in VMEM per z-row and feeds
 the MXU directly; the only HBM traffic is the per-particle (Nz, K)
 inputs (~210 MB) and the (Nz, 64, Wp) output (~70 MB).  The math is
-IDENTICAL to the XLA path (sorted_deposit._build_V /
-_build_V_span_diff / _contract): same 3-term bf16 split of V against
-an exact-bf16 one-hot S with f32 MXU accumulation, so the result is
-f32-exact in the same sense.
+algebraically identical to the XLA path (sorted_deposit._build_V /
+_build_V_span_diff / _contract) -- same bf16 split of V
+(_N_BF16_TERMS terms, honoring FBPIC_TPU_DEPOSIT_PRECISION) against
+an exact-bf16 one-hot S with f32 MXU accumulation -- and equal up to
+f32 rounding of term grouping (the V_D expression groups products
+slightly differently), so results agree to f32-rounding level.
 
-Measured numbers: see the MEASURED note near pallas_fused_enabled
-(recorded from tools/deposit_bench.py / bench.py runs).
+MEASURED (TPU v5e, bench.py LWFA config, Nz=1116 Nr=50 Nm=2,
+576k particles): fused deposit contraction 6.5 ms (XLA einsum path)
+-> 4.9 ms (this kernel); whole step 22.6 -> 21.1 ms/step
+(bench 38.2 -> 36.6 ns/particle/step).  tools/deposit_bench.py
+isolates the contraction; bench.py measures the full step.
 
 Reference behavior being replaced: cell-sorted register accumulation
 on CUDA (/root/reference/fbpic/particles/deposition/cuda_methods.py:
@@ -55,7 +60,9 @@ def pallas_fused_enabled(dtype):
     if mode in ("1", "interpret"):
         return True
     try:
-        return jax.devices()[0].platform != "cpu"
+        # TPU only: the kernel uses pltpu.VMEM BlockSpecs and MXU
+        # assumptions and would fail to lower on CUDA/ROCm backends.
+        return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
 
@@ -67,10 +74,10 @@ def _interpret_mode():
 @functools.partial(
     jax.jit, static_argnames=(
         "n_offJ", "n_offD", "CJ", "CD", "NRP", "Wp", "BZ",
-        "metaJ", "metaD", "interpret"))
+        "metaJ", "metaD", "n_terms", "interpret"))
 def _fused_contract_call(chJ, zwJ, sA, dph, phb, zwa, zwb, tables,
                          n_offJ, n_offD, CJ, CD, NRP, Wp, BZ,
-                         metaJ, metaD, interpret=False):
+                         metaJ, metaD, n_terms=3, interpret=False):
     """pallas_call wrapper.  Returns out (Nz, NRP, Wp) f32 with
     out[:, :, :W] = the einsum result (W = n_offJ*2*CJ + n_offD*2*CD).
 
@@ -176,9 +183,9 @@ def _fused_contract_call(chJ, zwJ, sA, dph, phb, zwa, zwb, tables,
             # same numbers the hardware path computes.
             acc = None
             Vr = V
-            for t in range(3):
+            for t in range(n_terms):
                 Vt = Vr.astype(jnp.bfloat16)
-                if t < 2:
+                if t < n_terms - 1:
                     Vr = Vr - Vt.astype(f32)
                 if interpret:
                     # The interpreter accumulates bf16-input dots in
@@ -284,8 +291,10 @@ def fused_onehot_contract(geom, channels, meta, span, dph, ph_b, wj,
 
     if interpret is None:
         interpret = _interpret_mode()
+    from .sorted_deposit import _N_BF16_TERMS
     out = _fused_contract_call(
         chJ, zwJ, sA, dphs, phbs, zwa, zwb, tables,
         n_offJ=n_offJ, n_offD=n_offD, CJ=CJ, CD=CD, NRP=NRP, Wp=Wp,
-        BZ=BZ, metaJ=metaJ, metaD=metaD, interpret=interpret)
+        BZ=BZ, metaJ=metaJ, metaD=metaD, n_terms=_N_BF16_TERMS,
+        interpret=interpret)
     return out[:, :Nrb, :W]

@@ -112,6 +112,74 @@ def test_particle_diag_EB_output(tmp_path):
     f.close()
 
 
+def test_btf_particle_diag_crossing_interpolation(tmp_path):
+    """Lab-frame positions written by the BTF particle diagnostic must
+    match the analytic ballistic trajectory to MUCH less than dz: the
+    diagnostic advances each particle to the exact plane-crossing time
+    t_cross before the inverse Lorentz transform (reference:
+    boosted_particle_diag.py:812-826).  Without the interpolation the
+    per-snapshot z smearing is O(c*dt) ~ dz."""
+    from fbpic_tpu.diagnostics import BackTransformedParticleDiagnostic
+    from fbpic_tpu.lpa_utils.bunch import add_particle_bunch_from_arrays
+    from fbpic_tpu.constants import m_e
+
+    gamma_b = 10.0
+    beta_b = np.sqrt(1.0 - 1.0 / gamma_b**2)
+    Nzl, Nrl, Nml = 64, 8, 1
+    zmaxl, zminl, rmaxl = 20.e-6, -20.e-6, 16.e-6
+    dzl = (zmaxl - zminl) / Nzl
+    dtl = dzl / c
+    sim = Simulation(Nzl, zmaxl, Nrl, rmaxl, Nml, dtl, zmin=zminl,
+                     random_seed=0, verbose_level=0)
+    # A few ballistic macro-particles (no plasma, negligible
+    # self-field): boosted-frame initial conditions
+    z0 = np.array([-4.e-6, -6.e-6, -8.e-6, -10.e-6])
+    x0 = np.array([1.e-6, 2.e-6, 0.5e-6, 1.5e-6])
+    y0 = np.zeros(4)
+    ux = np.array([0.5, -0.3, 0.2, 0.0])
+    uy = np.zeros(4)
+    uz = np.array([0.3, 0.8, -0.2, 1.5])
+    w = np.full(4, 1.0)
+    add_particle_bunch_from_arrays(sim, -e, m_e, x0, y0, z0, ux, uy,
+                                   uz, w, initialize_self_field=False)
+    wdir = str(tmp_path / "btf_phys")
+    diag = BackTransformedParticleDiagnostic(
+        zmin_lab=-1.e-3, zmax_lab=1.e-3, v_lab=0.,
+        dt_snapshots_lab=1.e-12, Ntot_snapshots_lab=1,
+        gamma_boost=gamma_b, period=1, sim=sim,
+        species={"bunch": sim.ptcl[-1]}, write_dir=wdir)
+    sim.diags.append(diag)
+    sim.step(40, show_progress=False)
+    for i, snap in enumerate(diag.snapshots):
+        if not snap["written"]:
+            diag._flush(i, snap)
+            snap["written"] = True
+
+    # Analytic: boosted-frame worldline z(t) = z0 + vz*t crosses the
+    # t_lab = 0 plane z_p(t) = -t*c/beta_b at
+    # t* = -z0 / (vz + c/beta_b); the lab position of that event is
+    # z_lab = gamma_b*(z(t*) + beta_b*c*t*), transverse unchanged.
+    ig = 1.0 / np.sqrt(1 + ux**2 + uy**2 + uz**2)
+    vz = uz * ig * c
+    t_star = -z0 / (vz + c / beta_b)
+    z_star = z0 + vz * t_star
+    z_lab_exp = gamma_b * (z_star + beta_b * c * t_star)
+    x_exp = x0 + ux * ig * c * t_star
+    uz_lab_exp = gamma_b * (uz + beta_b / ig)
+
+    with h5py.File(os.path.join(wdir, "hdf5", "particles%08d.h5" % 0),
+                   "r") as f:
+        sp = f["/data/0/particles/bunch"]
+        z_w = np.asarray(sp["position/z"])
+        x_w = np.asarray(sp["position/x"])
+        uz_w = np.asarray(sp["momentum/z"]) / (m_e * c)
+    assert len(z_w) == 4, f"caught {len(z_w)} of 4 particles"
+    order_w, order_e = np.argsort(z_w), np.argsort(z_lab_exp)
+    assert np.abs(z_w[order_w] - z_lab_exp[order_e]).max() < 1e-3 * dzl
+    assert np.abs(x_w[order_w] - x_exp[order_e]).max() < 1e-3 * dzl
+    assert np.abs(uz_w[order_w] / uz_lab_exp[order_e] - 1).max() < 1e-9
+
+
 def test_btf_particle_diag_openpmd_layout(tmp_path):
     """Back-transformed particle snapshots must be openPMD records
     (position/momentum/weighting groups), not flat arrays
