@@ -778,20 +778,28 @@ def _resident_indices(config, species_configs, options, halo):
     VERDICT r2 #2 ("keep particles resident in the column-padded
     layout").
 
-    Constraints (all static): single chip, fused deposition, linear
-    shapes, both half-pushes active, curl-free or no correction, and
-    the species' capacity must equal Nz * sort_K so the padded view
-    flattens back in place.  A species with an elementary process
-    (ionizer / Compton), or one that is an append TARGET of another
-    species' process, stays non-resident: the resident block gathers,
-    pushes and deposits BEFORE the mid-step appends run, so a freshly
-    created particle would miss its birth-step deposit (and the ring
-    append could land on a live slot of the reshuffled layout).  Other
+    Constraints (all static): fused deposition, linear shapes, both
+    half-pushes active, curl-free or no correction, and the species'
+    capacity must equal Nz * sort_K so the padded view flattens back
+    in place.  A species with an elementary process (ionizer /
+    Compton), or one that is an append TARGET of another species'
+    process, stays non-resident: the resident block gathers, pushes
+    and deposits BEFORE the mid-step appends run, so a freshly created
+    particle would miss its birth-step deposit (and the ring append
+    could land on a live slot of the reshuffled layout).  Other
     species in the same run keep the fast path -- the multi-species
     ionization LWFA's bulk electrons stay resident as long as ionized
     electrons are routed to their own target species.
+
+    On a z-decomposed mesh (halo is not None) residency runs per slab:
+    Nz is the LOCAL slab size (interior + guards), the column sort is
+    slab-local, and the storage-rewriting events (migration, removal,
+    dead-slot injection) all happen at the exchange cadence -- the same
+    steps whose full re-sort re-anchors the banded layout.  The
+    per-rank capacity must equal Nz_local * sort_K
+    (parallel/api.py sizes the shards accordingly).
     """
-    if halo is not None or not options.fused_deposit:
+    if not options.fused_deposit:
         return frozenset()
     if not (options.move_positions and options.move_momenta):
         return frozenset()
@@ -1024,7 +1032,10 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             # In resident mode a column-K overflow LOSES the excess
             # particles from the state (not just from one deposit);
             # the in-jit counter below makes that loud and auto-bumps K
-            sort_overflow = sort_overflow + sort["n_over"]
+            n_over_res = sort["n_over"]
+            if halo is not None:
+                n_over_res = jax.lax.psum(n_over_res, halo.axis_name)
+            sort_overflow = sort_overflow + n_over_res
             pad = sort["padded"]
             valid = sort["valid"]
             comp_kw = ({"comp_x": pad[8], "comp_y": pad[9],
@@ -1414,7 +1425,12 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             # was the leftmost columns' -- already outside the removal
             # bound, dead or about to be removed; the removal margin
             # n_guard >> exchange_period * cells_per_step guarantees
-            # no live particle sits there between exchanges).
+            # no live particle sits there between exchanges).  On a
+            # mesh the same argument holds per slab: the exchange
+            # cadence is clamped so strays (particle motion + window
+            # drift) stay within g/2 - 3 cells of the halo edge
+            # (domain.py max_period), so the leftmost n_move local
+            # rows never hold a live particle either.
             for ri in sorted(resident_idx):
                 rsc = species_configs[ri]
                 if rsc.resort != "banded":

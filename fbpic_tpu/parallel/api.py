@@ -69,6 +69,14 @@ class DistributedRun:
             config, tuple(sim.species_configs), options, mesh,
             axis_name=axis_name, migration_buffer=migration_buffer,
             n_guard=n_guard)
+        # Species that run the resident column-padded fast path on the
+        # mesh: their per-rank capacity must equal Nz_local * sort_K
+        # and their initial packing must be the column-sorted layout
+        # (the banded re-sort assumes it between full re-sorts).
+        from ..core import step as step_mod
+        self._resident_idx = step_mod._resident_indices(
+            self.config_local, tuple(sim.species_configs), options,
+            None)
         self.aux = build_field_aux(self.config_local, sim.smoother)
         self.g = self.config_local.n_guard
         self.Nz_int = self.config_local.Nz - 2 * self.g
@@ -151,6 +159,43 @@ class DistributedRun:
         return CArr(jnp.asarray(np.concatenate(slabs_re, axis=1)),
                     jnp.asarray(np.concatenate(slabs_im, axis=1)))
 
+    def _resident_slots(self, z, dev, zmin_g, K):
+        """Per-rank slot indices of the resident column-padded layout.
+
+        Returns a list of int arrays: slot_of[i][j] is the slot (within
+        rank i's block of Nz_local*K) of the j-th particle assigned to
+        rank i -- column-major (column * K + within-column rank), i.e.
+        the (Nz, K) padded layout the resident step expects between
+        full re-sorts."""
+        cfgl = self.config_local
+        slots = []
+        for i in range(self.ndev):
+            sel = dev == i
+            zmin_loc = zmin_g + (i * self.Nz_int - self.g) * cfgl.dz
+            col = np.clip(np.floor((z[sel] - zmin_loc)
+                                   / cfgl.dz).astype(int),
+                          0, cfgl.Nz - 1)
+            order = np.argsort(col, kind="stable")
+            cs = col[order]
+            # within-column rank of each (column-sorted) particle
+            if len(cs):
+                starts = np.r_[0, np.flatnonzero(np.diff(cs)) + 1]
+                counts = np.diff(np.r_[starts, len(cs)])
+                within = np.arange(len(cs)) - np.repeat(starts, counts)
+                if within.max(initial=-1) >= K:
+                    worst = int(counts.max())
+                    raise ValueError(
+                        f"Resident species: a z column of rank {i} "
+                        f"holds {worst} particles > sort_K={K}. Pass "
+                        f"a larger sort_K to add_new_species before "
+                        f"distributing.")
+            else:
+                within = cs
+            slot = np.empty(len(cs), dtype=int)
+            slot[order] = cs * K + within
+            slots.append(slot)
+        return slots
+
     def _shard_state(self, state):
         sim = self.sim
         cfgl = self.config_local
@@ -180,7 +225,7 @@ class DistributedRun:
         species = []
         zmin_g = float(state.zmin)
         Lz_int = self.Nz_int * cfgl.dz
-        for sp in state.species:
+        for si, sp in enumerate(state.species):
             arrays = {f.name: getattr(sp, f.name)
                       for f in dataclasses.fields(sp)}
             z = np.asarray(arrays["z"])
@@ -190,8 +235,14 @@ class DistributedRun:
             dev = np.where(w != 0, dev, -1)
             max_count = max((int((dev == i).sum())
                              for i in range(self.ndev)), default=0)
-            cap = _round256(max(1.5 * max_count,
-                                1.2 * sp.capacity / self.ndev))
+            resident = si in self._resident_idx
+            if resident:
+                sc = self.sim.species_configs[si]
+                cap = cfgl.Nz * sc.sort_K
+                slot_of = self._resident_slots(z, dev, zmin_g, sc.sort_K)
+            else:
+                cap = _round256(max(1.5 * max_count,
+                                    1.2 * sp.capacity / self.ndev))
             blocks = {}
             for name, arr in arrays.items():
                 if arr is None:
@@ -206,9 +257,25 @@ class DistributedRun:
                     out[:] = 1.0
                 for i in range(self.ndev):
                     sel = dev == i
-                    cnt = int(sel.sum())
-                    out[i * cap:i * cap + cnt] = arr_np[sel]
+                    if resident:
+                        out[i * cap + slot_of[i]] = arr_np[sel]
+                    else:
+                        cnt = int(sel.sum())
+                        out[i * cap:i * cap + cnt] = arr_np[sel]
                 blocks[name] = jnp.asarray(out)
+            if resident:
+                # Dead-slot positions: park each dead slot at its own
+                # row's column center so the column-sorted invariant
+                # holds for every slot (live slots are masked by w)
+                rows = (np.arange(self.ndev * cap) % cap) // sc.sort_K
+                zmin_loc = (zmin_g
+                            + ((np.arange(self.ndev * cap) // cap)
+                               * self.Nz_int - self.g) * cfgl.dz)
+                park = zmin_loc + (rows + 0.5) * cfgl.dz
+                dead = np.asarray(blocks["w"]) == 0
+                blocks["z"] = jnp.asarray(
+                    np.where(dead, park.astype(np.asarray(
+                        blocks["z"]).dtype), np.asarray(blocks["z"])))
             if blocks.get("next_free") is not None:
                 # The ring cursor is replicated but only the LAST rank
                 # writes injected particles: point it at the first free
@@ -328,6 +395,8 @@ class DistributedRun:
 
     def _check_migration(self):
         lost = int(jax.device_get(self.state.migration_overflow))
+        n_sort = (0 if self.state.sort_overflow is None
+                  else int(jax.device_get(self.state.sort_overflow)))
         if lost > 0:
             msg = (f"{lost} particle(s) were dropped because a "
                    f"migration buffer or the per-rank particle "
@@ -337,6 +406,23 @@ class DistributedRun:
                 raise RuntimeError(msg)
             import warnings
             warnings.warn(msg, RuntimeWarning)
+        if n_sort > 0:
+            # The single-chip auto-bump cannot re-shard mid-run: make
+            # the overflow loud instead of silently dropping charge
+            # (for resident species, dropping the particles themselves)
+            msg = (f"{n_sort} particle-step(s) exceeded a z column's "
+                   f"sorted-deposit capacity on the mesh; pass a "
+                   f"larger sort_K to add_new_species before "
+                   f"distributing.")
+            if self.on_migration_overflow == "error":
+                raise RuntimeError(msg)
+            import warnings
+            warnings.warn(msg, RuntimeWarning)
+            import dataclasses as _dc
+            self.state = _dc.replace(
+                self.state, sort_overflow=jax.device_put(
+                    jnp.zeros((), jnp.int32),
+                    NamedSharding(self.mesh, P())))
 
     # -- gather to host ----------------------------------------------------
 

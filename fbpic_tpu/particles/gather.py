@@ -222,21 +222,11 @@ def gather_fields_sorted(
 
     Nrx = Nr + 1
     J = n_off * Nrx
-
-    def onehot(o_idx, ridx, wgt):
-        j = o_idx * Nrx + ridx
-        return wgt[:, :, None] * jax.nn.one_hot(j, J, dtype=rdt)
-
     o_lo = delta + D                    # o in [-D, D] -> [0, 2D]
-    o_hi = jnp.minimum(o_lo + 1, n_off - 1)
-    S = (onehot(o_lo, l_r, Sz_lower * Sr_lower * ok)
-         + onehot(o_lo, u_r, Sz_lower * Sr_upper * ok)
-         + onehot(o_hi, l_r, Sz_upper * Sr_lower * ok)
-         + onehot(o_hi, u_r, Sz_upper * Sr_upper * ok))
 
-    # F_ext: z-rolled copies x [signed axis-guard row; field rows].
-    # The guard-row sign per channel: transverse components flip by
-    # -(-1)^m, z components by (-1)^m (gathering/inline_functions.py).
+    # F with the signed axis-guard row prepended.  The guard-row sign
+    # per channel: transverse components flip by -(-1)^m, z components
+    # by (-1)^m (gathering/inline_functions.py).
     F = _stack_interp_channels(interp, Nm)          # (Nz, Nr, C)
     guard_sign = []
     for comp_i in range(6):
@@ -248,6 +238,26 @@ def gather_fields_sorted(
     guard_sign = jnp.asarray(guard_sign, dtype=rdt)
     Fg = jnp.concatenate([guard_sign[None, None, :] * F[:, :1], F],
                          axis=1)                    # (Nz, Nr+1, C)
+
+    from .pallas_gather import pallas_gather_enabled, \
+        gather_sorted_pallas
+    if pallas_gather_enabled(rdt):
+        # Pallas kernel: the one-hot S and the (Nz, K, C) mode-sum
+        # intermediate never hit HBM (see pallas_gather.py)
+        return gather_sorted_pallas(
+            o_lo.astype(rdt), l_r.astype(rdt), Sr_upper, Sz_upper, ok,
+            cos, sin, Fg, n_off=n_off, Nm=Nm, Nz=Nz, Nr=Nr)
+
+    def onehot(o_idx, ridx, wgt):
+        j = o_idx * Nrx + ridx
+        return wgt[:, :, None] * jax.nn.one_hot(j, J, dtype=rdt)
+
+    o_hi = jnp.minimum(o_lo + 1, n_off - 1)
+    S = (onehot(o_lo, l_r, Sz_lower * Sr_lower * ok)
+         + onehot(o_lo, u_r, Sz_lower * Sr_upper * ok)
+         + onehot(o_hi, l_r, Sz_upper * Sr_lower * ok)
+         + onehot(o_hi, u_r, Sz_upper * Sr_upper * ok))
+
     F_ext = jnp.concatenate(
         [jnp.roll(Fg, -o, axis=0) for o in range(-D, D + 1)], axis=1)
 

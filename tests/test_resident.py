@@ -235,3 +235,70 @@ def test_banded_resort_moving_window():
     err = np.max(np.abs(a - b)) / scale
     print("banded-resort moving-window parity:", err)
     assert err < 1e-9
+
+
+def test_resident_on_mesh_lwfa_parity():
+    """Resident fast path on a 4-device z mesh (VERDICT r4 #4: the
+    mesh used to silently fall back to the non-resident machinery).
+    Full production mechanics -- banded per-step re-sort between
+    exchanges, full re-sort on the migration/injection steps, window
+    row roll, dead-slot injection -- decomposed over 4 devices, vs the
+    single-chip resident run."""
+    import jax
+    import pytest
+    from fbpic_tpu.constants import c
+    from fbpic_tpu.lpa_utils.laser import add_laser_pulse, GaussianLaser
+    from fbpic_tpu.parallel.api import distribute_simulation
+
+    N_DEV = 4
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs %d devices" % N_DEV)
+
+    NZ_PHYS, NR, NM = 130, 16, 2
+    ZMAX, ZMIN, RMAX = 12.e-6, -4.e-6, 10.e-6
+    dz = (ZMAX - ZMIN) / NZ_PHYS
+    dt = dz / c
+    N_STEPS = 40
+
+    def build():
+        sim = Simulation(
+            NZ_PHYS, ZMAX, NR, RMAX, NM, dt, zmin=ZMIN,
+            n_order=16, boundaries={"z": "open", "r": "reflective"},
+            exchange_period=4, random_seed=0, verbose_level=0)
+        sim.use_fused_deposit = True
+        sim.add_new_species(q=-e, m=m_e, n=5.e24,
+                            p_zmin=2.e-6, p_zmax=100.e-6, p_rmin=0.,
+                            p_rmax=9.e-6, p_nz=1, p_nr=2, p_nt=4,
+                            continuous_injection=True, sort_K=256)
+        add_laser_pulse(sim, GaussianLaser(a0=0.5, waist=4.e-6,
+                                           tau=8.e-15, z0=6.e-6))
+        sim.set_moving_window(v=c)
+        assert sim.species_configs[0].resident
+        assert sim.species_configs[0].resort == "banded"
+        return sim
+
+    from fbpic_tpu.fields import transform as tr
+    sim1 = build()
+    sim1.step(N_STEPS, show_progress=False)
+    Ez1 = tr.spect2interp_scal(sim1.aux.mats,
+                               sim1.state.spect.Ez).to_numpy()[0]
+
+    sim4 = build()
+    if sim4.config.Nz % N_DEV != 0:
+        pytest.skip("internal Nz=%d not divisible by %d"
+                    % (sim4.config.Nz, N_DEV))
+    # n_guard=24 keeps the mesh's guard-clamped exchange period at 4,
+    # matching the single-chip injection/removal schedule
+    run = distribute_simulation(sim4, n_devices=N_DEV, n_guard=24)
+    assert 0 in run._resident_idx, \
+        "mesh run must keep the resident fast path"
+    run.step(N_STEPS)
+    Ez4 = run.get_interp_field("Ez", m=0)
+
+    scale = np.abs(Ez1).max()
+    assert scale > 0
+    err = np.abs(Ez4 - Ez1).max() / scale
+    print("mesh-resident LWFA max rel deviation:", err)
+    # same gate as the non-resident mesh LWFA test: the deviation is
+    # the per-slab current-correction locality
+    assert err < 5e-3
