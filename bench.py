@@ -15,23 +15,24 @@ this workload (the reference publishes no absolute numbers, and it
 cannot run here: no numba, 1 CPU core -- see BASELINE.md).
 >1.0 means faster than the target.
 
-Cost model (r4 post-banded, device timeline via tools/trace_idle.py;
-the shared dev chip shows +-30% run-to-run wall-clock variance, so
-single bench numbers are noisy).  At 576k particles the step is
-~22 ms wall, ~21.7 ms device-busy / 1.8 ms idle.  The banded re-sort
-(one row-wise multi-payload lax.sort over the 3 neighbor rows) made
-sorting near free -- 0.07-0.37 ms standalone (tools/resort_bench.py;
-per-op profiles over-attribute sort spans ~30x, do not trust them).
-Remaining breakdown (span-summed categories): elementwise loop
-fusions 4.2 ms across ~400 ops, spectral-transform convolutions
-3.1 ms, deposit/gather contraction custom fusions 2.4 ms, data
-formatting ~1 ms, the rest in the fused deposit's bf16 one-hot
-blocks and the PSATD push.  History: r1 71 ns/p/step (f32 physics
-WRONG), r2 90 ns (f32-correct drho machinery), r3 57.8 ns (resident
-layout), r4 44.3 ns (bf16-split contraction) -> 38.2 ns (banded
-re-sort: the stored (Nz, K) rows were the exact sort one step ago,
-so one batched row-wise sort over the 2*band+1 neighbor rows
-replaces the flat sort + relayout on non-injection steps).
+Cost model (r4 final = post-Pallas-deposit; device timeline via
+tools/trace_idle.py; the shared dev chip shows +-30% run-to-run
+wall-clock variance, so single bench numbers are noisy).  At 576k
+particles the step is ~21 ms wall.  The banded re-sort (one row-wise
+multi-payload lax.sort over the 2*band+1 neighbor rows) keeps
+sorting cheap at band=1 -- but scales STEEPLY with the band
+(measured r5: band=2 costs +12 ms/step; the f32 knife edge is
+handled by a full-sort fallback instead, core/step.py).  The Pallas
+VMEM fused-deposit kernel (particles/pallas_fused.py) replaced the
+XLA einsum contraction: 22.6 -> 21.1 ms/step (r4 snapshot).
+Remaining breakdown (r4 span-summed categories): elementwise loop
+fusions ~4.2 ms across ~400 ops, spectral-transform convolutions
+3.1 ms, gather/deposit contraction fusions ~2-4 ms, data formatting
+~1 ms, the rest in the Pallas deposit and the PSATD push.
+History: r1 71 ns/p/step (f32 physics WRONG), r2 90 ns (f32-correct
+drho machinery), r3 57.8 ns (resident layout), r4 44.3 ns
+(bf16-split contraction) -> 38.2 ns (banded re-sort) -> 36.6 ns
+(Pallas fused deposit).
 """
 import json
 import time

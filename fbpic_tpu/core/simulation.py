@@ -585,11 +585,12 @@ class Simulation:
             vg = abs(self.config.v_comoving) if (
                 self.config.use_comoving
                 and self.config.use_galilean) else 0.0
-            # Mirrors step.py's band (analytic ceil + 1 f32 rounding
-            # margin); must stay in sync with the value used there.
+            # Mirrors step.py's analytic band (the f32 knife edge is
+            # covered by the full-sort fallback there, not a margin);
+            # must stay in sync with the value used there.
             band = max(1, int((c + vg) * self.config.dt
-                              / self.config.dz - 1e-9) + 1) + 1
-            if band <= 3:
+                              / self.config.dz - 1e-9) + 1)
+            if band <= 2:
                 resort = "banded"
 
         sc = SpeciesConfig(

@@ -614,6 +614,83 @@ def _append_new_particles(esp, new, axis_name=None):
     return dataclasses.replace(esp, **updates), dropped
 
 
+def _append_into_padded(esp, new, Nz, K, zmin, invdz, zfold,
+                        axis_name=None):
+    """Write a creation buffer into dead slots of a RESIDENT species'
+    (Nz, K) column-padded layout -- each newborn lands in a dead slot
+    of ITS OWN z row, so the next step's banded re-sort keeps it (a
+    ring/argsort append would put it in an arbitrary row, outside the
+    band, and the re-sort would drop it).
+
+    `new` positions must already be at the end-of-step time (the
+    resident arrays are post-second-half-push) and `zmin` the grid
+    edge they will be re-sorted against.  Ids follow the replicated
+    protocol of _append_new_particles.
+
+    Returns (esp, n_dropped): newborns whose row had no free slot
+    (column full -- counted into sort_overflow by the caller so the
+    single-chip K auto-bump fires)."""
+    mask = new["w"] != 0
+    nb = new["x"].shape[0]
+    n_new = jnp.sum(mask.astype(jnp.int32))
+    if axis_name is None:
+        off = jnp.zeros((), jnp.int32)
+        total = n_new
+    else:
+        counts = jax.lax.all_gather(n_new, axis_name)
+        me = jax.lax.axis_index(axis_name)
+        rank_before = jnp.arange(counts.shape[0]) < me
+        off = jnp.sum(jnp.where(rank_before, counts, 0)).astype(jnp.int32)
+        total = jnp.sum(counts).astype(jnp.int32)
+
+    values = {name: new[name]
+              for name in ("x", "y", "z", "ux", "uy", "uz",
+                           "inv_gamma", "w")}
+    for name in ("comp_x", "comp_y", "comp_z"):
+        if getattr(esp, name) is not None:
+            values[name] = jnp.zeros_like(new["x"])
+    if esp.ids is not None:
+        base_lo, base_hi = _advance_id(esp.next_id, esp.next_id_hi, off)
+        values["ids"], values["ids_hi"] = _two_word_ids(
+            base_lo, base_hi, nb)
+
+    # Row (z column) of each newborn at its current position
+    col = jnp.floor(invdz * (values["z"] - zmin)).astype(jnp.int32)
+    if zfold == "periodic":
+        col = jnp.mod(col, Nz)
+    else:
+        col = jnp.clip(col, 0, Nz - 1)
+    # Stable column sort of the buffer -> within-column rank.  Dead
+    # buffer slots sort to the end under the key Nz (their raw col is
+    # meaningless), and cs must be the SORTED KEY for searchsorted.
+    key_col = jnp.where(mask, col, Nz)
+    order = jnp.argsort(key_col)
+    cs = key_col[order]
+    mask_s = mask[order]
+    first = jnp.searchsorted(cs, cs, side="left")
+    within = jnp.arange(nb, dtype=jnp.int32) - first.astype(jnp.int32)
+    # Dead slots of each row, dead-first
+    dead = (esp.w == 0).reshape(Nz, K)
+    dead_order = jnp.argsort(~dead, axis=1).astype(jnp.int32)
+    n_dead_row = jnp.sum(dead, axis=1).astype(jnp.int32)
+    row = jnp.clip(cs, 0, Nz - 1)
+    ok = mask_s & (cs < Nz) & (within < n_dead_row[row]) & (within < K)
+    slot_in_row = dead_order[row, jnp.minimum(within, K - 1)]
+    flat_slot = jnp.where(ok, row * K + slot_in_row, Nz * K)
+    dropped = (n_new - jnp.sum(ok.astype(jnp.int32))).astype(jnp.int32)
+
+    updates = {}
+    for name, vals in values.items():
+        arr = getattr(esp, name)
+        updates[name] = arr.at[flat_slot].set(vals[order], mode="drop")
+    if axis_name is not None:
+        dropped = jax.lax.psum(dropped, axis_name)
+    if esp.ids is not None:
+        updates["next_id"], updates["next_id_hi"] = _advance_id(
+            esp.next_id, esp.next_id_hi, total)
+    return dataclasses.replace(esp, **updates), dropped
+
+
 def remove_outside_particles(config, sp, zmin, bounds=None):
     """Mark particles that reached the guard cells as dead (w = 0) and
     park them at the box center.
@@ -781,15 +858,19 @@ def _resident_indices(config, species_configs, options, halo):
     Constraints (all static): fused deposition, linear shapes, both
     half-pushes active, curl-free or no correction, and the species'
     capacity must equal Nz * sort_K so the padded view flattens back
-    in place.  A species with an elementary process (ionizer /
-    Compton), or one that is an append TARGET of another species'
-    process, stays non-resident: the resident block gathers, pushes
-    and deposits BEFORE the mid-step appends run, so a freshly created
-    particle would miss its birth-step deposit (and the ring append
-    could land on a live slot of the reshuffled layout).  Other
-    species in the same run keep the fast path -- the multi-species
-    ionization LWFA's bulk electrons stay resident as long as ionized
-    electrons are routed to their own target species.
+    in place.
+
+    Process-carrying species run resident too (r5; VERDICT r4 #3 --
+    the exclusion made the ionization LWFA 3.7x slower than the plain
+    bench): an ionizer / Compton species runs its process INSIDE the
+    resident block between the push and the deposit (the reference
+    order, main.py:468-511), with ionization_level riding the sort as
+    an integer payload channel and the deposit weighted by the
+    post-ionization level.  An append TARGET that is resident receives
+    newborns through _append_into_padded (dead slots of the newborn's
+    own z row, so the banded re-sort keeps them) and the newborns'
+    birth-step J / rho contributions are scatter-deposited from the
+    small creation buffer and added to the fused grids.
 
     On a z-decomposed mesh (halo is not None) residency runs per slab:
     Nz is the LOCAL slab size (interior + guards), the column sort is
@@ -806,21 +887,10 @@ def _resident_indices(config, species_configs, options, halo):
     if (options.correct_currents
             and config.current_correction == "cross-deposition"):
         return frozenset()
-    targets = set()
-    for sc in species_configs:
-        if sc.ionizer is not None:
-            if sc.ionizer.per_level_targets:
-                targets.update(sc.ionizer.per_level_targets)
-            else:
-                targets.add(sc.ionizer.target_index)
-        if sc.compton is not None:
-            targets.add(sc.compton.target_index)
     out = set()
     for i, sc in enumerate(species_configs):
         if (sc.resident and sc.sort_K > 0 and not sc.is_tracer
-                and sc.particle_shape == "linear"
-                and sc.ionizer is None and sc.compton is None
-                and i not in targets):
+                and sc.particle_shape == "linear"):
             out.add(i)
     return frozenset(out)
 
@@ -964,16 +1034,24 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # rewrote the storage order (and periodically as a safety
         # re-anchor when nothing ever rewrites it).
         cells_per_step = max(1, int(c * dt / config.dz - 1e-9) + 1)
-        # +1 rounding margin on the analytic band: with dt = dz/c the
-        # physical bound is exactly 1 column, but the f32 cell
-        # coordinate of a particle at the cell edge can round across
-        # the next integer (the same knife edge the deposit windows
-        # widen for), moving it 2 columns in ONE step.  A particle
-        # escaping the band is PERMANENTLY dropped from the resident
-        # state (n_over auto-bumps sort_K, which cannot fix it), so
-        # the margin is mandatory; candidate rows 5 vs 3 are cheap.
-        band = max(1, int((c + abs(vg)) * dt / config.dz - 1e-9) + 1) + 1
+        # Analytic band (no rounding margin: widening it to 2 costs a
+        # measured ~12 ms/step at bench size -- the candidate sort
+        # scales steeply with the row count).  The f32 knife edge a
+        # margin would cover -- a cell-edge coordinate rounding across
+        # the next integer, moving a particle 2 columns in one step
+        # and PERMANENTLY dropping it from the resident state -- is
+        # handled instead by the full-sort fallback inside
+        # _banded_branch: any escaped/overflowed particle makes
+        # n_over > 0 and the step redoes the exact flat sort (rare:
+        # costs only when it fires).
+        band = max(1, int((c + abs(vg)) * dt / config.dz - 1e-9) + 1)
 
+        ax = halo.axis_name if halo is not None else None
+        # Newborn buffers created by resident processes (source species
+        # handled inside the loop; appends + birth-step deposits happen
+        # in the elementary-process blocks below)
+        resident_compton_new = {}
+        resident_ionize_new = {}
         for i in sorted(resident_idx):
             sp, sc = species[i], species_configs[i]
             K = sc.sort_K
@@ -983,17 +1061,22 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 "clear SpeciesConfig.resident)")
             has_comp = sp.comp_x is not None
             has_ids = sp.ids is not None
+            has_level = sp.ionization_level is not None
             payload = [sp.x, sp.y, sp.z, sp.w, sp.ux, sp.uy, sp.uz,
                        sp.inv_gamma]
             if has_comp:
                 payload += [sp.comp_x, sp.comp_y, sp.comp_z]
-            # Tracking ids ride THROUGH the sort (integer channels are
-            # grouped into their own gather by build_column_sort) so
-            # the re-flattened storage order keeps id<->particle
-            # pairing intact (advisor r3: ids must follow the permute)
+            # Tracking ids and the ionization level ride THROUGH the
+            # sort (integer channels are grouped into their own gather
+            # by build_column_sort) so the re-flattened storage order
+            # keeps id<->particle pairing intact (advisor r3: ids must
+            # follow the permute)
             n_float = len(payload)
             if has_ids:
                 payload += [sp.ids, sp.ids_hi]
+            level_idx = len(payload)
+            if has_level:
+                payload += [sp.ionization_level]
             if sc.resort != "banded":
                 sort = build_column_sort(sp.z, sp.w, zmin,
                                          1.0 / config.dz,
@@ -1011,7 +1094,27 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                     s = banded_column_resort(
                         padded, zmin, 1.0 / config.dz, config.Nz, K,
                         band, zfold=_zfold(config))
-                    return (tuple(s["padded"]), s["valid"], s["n_over"])
+
+                    # f32 knife edge (advisor r4): a cell-edge
+                    # coordinate can round across the next integer and
+                    # escape the analytic band, which would PERMANENTLY
+                    # drop the particle.  n_over counts every escaped
+                    # or overflowed particle; redo the exact flat sort
+                    # in that (rare) case instead of paying a +1 band
+                    # every step (~12 ms at bench size).
+                    def _redo(pl):
+                        f = build_column_sort(pl[2], pl[3], zmin,
+                                              1.0 / config.dz,
+                                              config.Nz, K, payload=pl)
+                        return (tuple(f["padded"]), f["valid"],
+                                f["n_over"])
+
+                    def _keep(_pl):
+                        return (tuple(s["padded"]), s["valid"],
+                                s["n_over"])
+
+                    return jax.lax.cond(s["n_over"] > 0, _redo, _keep,
+                                        pl)
 
                 if config.boundaries_z == "open":
                     # exchange/injection (when active) rewrote the
@@ -1040,6 +1143,8 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             valid = sort["valid"]
             comp_kw = ({"comp_x": pad[8], "comp_y": pad[9],
                         "comp_z": pad[10]} if has_comp else {})
+            if has_level:
+                comp_kw["ionization_level"] = pad[level_idx]
             psp = dataclasses.replace(
                 sp, x=pad[0], y=pad[1], z=pad[2],
                 w=jnp.where(valid, pad[3], jnp.zeros((), pad[3].dtype)),
@@ -1071,18 +1176,65 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 psp = dataclasses.replace(psp, ux=ux, uy=uy, uz=uz,
                                           inv_gamma=inv_gamma)
             psp = half_push_x(config, options, psp, zmin_mid)
+
+            # --- Elementary processes at t = (n+1/2) dt for resident
+            # species run HERE, between the push and the deposit (the
+            # reference order, main.py:468-511), so the deposit sees
+            # the post-ionization charge state / post-recoil momenta.
+            # The process kernels are 1-D (cumsum buffer compaction):
+            # they get flat views, outputs reshaped back.
+            def _flat_psp(psp):
+                names = ("x", "y", "z", "ux", "uy", "uz", "inv_gamma",
+                         "w")
+                upd = {n: getattr(psp, n).reshape(-1) for n in names}
+                if psp.ionization_level is not None:
+                    upd["ionization_level"] = \
+                        psp.ionization_level.reshape(-1)
+                return dataclasses.replace(psp, **upd)
+
+            if sc.compton is not None:
+                from ..particles.compton import handle_compton
+                key = _stream_key(state, _STREAM_COMPTON, i,
+                                  axis_name=ax)
+                sp_new, new_ph = handle_compton(
+                    _flat_psp(psp), sc.compton, comp_auxes[i], dt,
+                    state.time + 0.5 * dt, key)
+                shp = psp.x.shape
+                psp = dataclasses.replace(
+                    psp, ux=sp_new.ux.reshape(shp),
+                    uy=sp_new.uy.reshape(shp),
+                    uz=sp_new.uz.reshape(shp),
+                    inv_gamma=sp_new.inv_gamma.reshape(shp))
+                resident_compton_new[i] = new_ph
+            if sc.ionizer is not None:
+                from ..particles.ionization import ionize
+                key = _stream_key(state, _STREAM_IONIZE, i,
+                                  axis_name=ax)
+                E_flat = tuple(a.reshape(-1) for a in E)
+                B_flat = tuple(a.reshape(-1) for a in B)
+                sp_new, new_elec = ionize(_flat_psp(psp), E_flat,
+                                          B_flat, sc.ionizer,
+                                          ion_auxes[i], key)
+                psp = dataclasses.replace(
+                    psp, ionization_level=sp_new.ionization_level
+                    .reshape(psp.x.shape))
+                resident_ionize_new[i] = new_elec
+
             # Fused J + rho/d(rho) deposition on the pushed padded
             # arrays (sort_at_start: the sort is half a push behind,
             # so every z-offset window widens by one cell each way)
             derive_rho_next = want_drho
-            pad_dep = [psp.x, psp.y, psp.z, psp.w,
+            w_dep = psp.w
+            if has_level:
+                w_dep = w_dep * psp.ionization_level.astype(w_dep.dtype)
+            pad_dep = [psp.x, psp.y, psp.z, w_dep,
                        psp.ux, psp.uy, psp.uz, psp.inv_gamma]
             if has_comp:
                 pad_dep += [psp.comp_x, psp.comp_y, psp.comp_z]
             sort_dep = dict(valid=valid, n_over=sort["n_over"],
                             padded=pad_dep)
             out = deposit_rho_J_sorted(
-                sort_dep, psp.x, psp.y, psp.z, psp.w, sc.q,
+                sort_dep, psp.x, psp.y, psp.z, w_dep, sc.q,
                 psp.ux, psp.uy, psp.uz, psp.inv_gamma, 0.5 * config.dt,
                 config.Nm, 1.0 / config.dz, zmin_mid, config.Nz,
                 1.0 / config.dr, 0.0, config.Nr, aux.ruyten_linear,
@@ -1106,6 +1258,9 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
             if has_ids:
                 flat["ids"] = pad[n_float].reshape(-1)
                 flat["ids_hi"] = pad[n_float + 1].reshape(-1)
+            if has_level:
+                flat["ionization_level"] = \
+                    psp.ionization_level.reshape(-1)
             species[i] = dataclasses.replace(sp, **flat)
 
         # --- Gather + momentum push + first half position push
@@ -1127,20 +1282,90 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
         # (reference: main.py:499-503).  On a mesh, Monte-Carlo streams
         # fold the rank in (independent per slab) and ring appends use
         # the replicated-cursor protocol (_append_new_particles).
-        ax = halo.axis_name if halo is not None else None
+        # Resident SOURCES already ran their process inside the
+        # resident block (the deposit needed the post-process state);
+        # their creation buffers are routed to targets here.
+        def _route_newborns(tgt, new):
+            """Append a creation buffer (positions at t = (n+1/2) dt)
+            to the target species.  Non-resident target: ring append
+            before its deposit (the newborn rides the normal path).
+            Resident target: its fused deposit already ran, so the
+            newborns' birth-step J / rho contributions are
+            scatter-deposited from the buffer and added onto the fused
+            grids, the buffer is half-pushed to t = (n+1) dt, and the
+            particles land in dead slots of their own z row
+            (_append_into_padded) so the banded re-sort keeps them."""
+            nonlocal ring_overwrite, sort_overflow
+            if tgt not in resident_idx:
+                sp_t, dropped = _append_new_particles(
+                    species[tgt], new, axis_name=ax)
+                species[tgt] = sp_t
+                ring_overwrite = ring_overwrite + dropped
+                return
+            sc_t = species_configs[tgt]
+            xb, yb, zb, wb = new["x"], new["y"], new["z"], new["w"]
+            uxb, uyb, uzb = new["ux"], new["uy"], new["uz"]
+            igb = new["inv_gamma"]
+            # Birth-step J at the (n+1/2) positions (same grid
+            # reference as deposit_J_spect below)
+            Jb = deposit_J_linear(
+                xb, yb, zb, wb, sc_t.q, uxb, uyb, uzb, igb,
+                config.Nm, 1.0 / config.dz, zmin_mid, config.Nz,
+                1.0 / config.dr, 0.0, config.Nr, aux.ruyten_linear,
+                zfold=_zfold(config))
+            fused_J[tgt] = tuple(a + b
+                                 for a, b in zip(fused_J[tgt], Jb))
+            chdt = c * 0.5 * dt
+            x2 = xb + chdt * igb * uxb
+            y2 = yb + chdt * igb * uyb
+            z2 = zb + chdt * igb * uzb
+            if want_drho:
+                # Same telescoped-difference convention as the fused
+                # path: rho(x + h) - rho(x - h), back-propagating the
+                # newborn (the missing pre-birth term cancels against
+                # the parent's level change at the same position)
+                x0 = xb - chdt * igb * uxb
+                y0 = yb - chdt * igb * uyb
+                z0 = zb - chdt * igb * uzb
+                r2 = deposit_rho_linear(
+                    x2, y2, z2, wb, sc_t.q, config.Nm,
+                    1.0 / config.dz, zmin, config.Nz,
+                    1.0 / config.dr, 0.0, config.Nr,
+                    aux.ruyten_linear, zfold=_zfold(config))
+                r0 = deposit_rho_linear(
+                    x0, y0, z0, wb, sc_t.q, config.Nm,
+                    1.0 / config.dz, zmin, config.Nz,
+                    1.0 / config.dr, 0.0, config.Nr,
+                    aux.ruyten_linear, zfold=_zfold(config))
+                fused_drho[tgt] = fused_drho[tgt] + (r2 - r0)
+            elif fused_rho.get(tgt) is not None:
+                r2 = deposit_rho_linear(
+                    x2, y2, z2, wb, sc_t.q, config.Nm,
+                    1.0 / config.dz, zmin_next, config.Nz,
+                    1.0 / config.dr, 0.0, config.Nr,
+                    aux.ruyten_linear, zfold=_zfold(config))
+                fused_rho[tgt] = fused_rho[tgt] + r2
+            pushed = dict(new, x=x2, y=y2, z=z2)
+            sp_t, dropped = _append_into_padded(
+                species[tgt], pushed, config.Nz, sc_t.sort_K, zmin,
+                1.0 / config.dz, _zfold(config), axis_name=ax)
+            species[tgt] = sp_t
+            sort_overflow = sort_overflow + dropped
+
         for i, sc in enumerate(species_configs):
             if sc.compton is None:
                 continue
-            from ..particles.compton import handle_compton
-            key = _stream_key(state, _STREAM_COMPTON, i, axis_name=ax)
-            sp_new, new_ph = handle_compton(
-                species[i], sc.compton, comp_auxes[i], dt,
-                state.time + 0.5 * dt, key)
-            species[i] = sp_new
-            tgt = sc.compton.target_index
-            species[tgt], dropped = _append_new_particles(
-                species[tgt], new_ph, axis_name=ax)
-            ring_overwrite = ring_overwrite + dropped
+            if i in resident_idx:
+                new_ph = resident_compton_new[i]
+            else:
+                from ..particles.compton import handle_compton
+                key = _stream_key(state, _STREAM_COMPTON, i,
+                                  axis_name=ax)
+                sp_new, new_ph = handle_compton(
+                    species[i], sc.compton, comp_auxes[i], dt,
+                    state.time + 0.5 * dt, key)
+                species[i] = sp_new
+            _route_newborns(sc.compton.target_index, new_ph)
 
         # --- Elementary processes at t = (n+1/2) dt: ADK ionization
         # (reference: main.py:499-503)
@@ -1149,24 +1374,23 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
                 continue
             from ..particles.ionization import ionize, \
                 select_level_electrons
-            key = _stream_key(state, _STREAM_IONIZE, i, axis_name=ax)
-            sp_new, new_elec = ionize(species[i], *gathered_EB[i],
-                                      sc.ionizer, ion_auxes[i], key)
-            species[i] = sp_new
+            if i in resident_idx:
+                new_elec = resident_ionize_new[i]
+            else:
+                key = _stream_key(state, _STREAM_IONIZE, i,
+                                  axis_name=ax)
+                sp_new, new_elec = ionize(species[i], *gathered_EB[i],
+                                          sc.ionizer, ion_auxes[i], key)
+                species[i] = sp_new
             if sc.ionizer.per_level_targets:
                 # Route electrons from each ionizable level to its own
                 # species (reference ionizer.py:123-146)
                 for off, tgt in enumerate(sc.ionizer.per_level_targets):
                     lvl = sc.ionizer.level_start + off
                     sub = select_level_electrons(new_elec, lvl)
-                    species[tgt], dropped = _append_new_particles(
-                        species[tgt], sub, axis_name=ax)
-                    ring_overwrite = ring_overwrite + dropped
+                    _route_newborns(tgt, sub)
             else:
-                tgt = sc.ionizer.target_index
-                species[tgt], dropped = _append_new_particles(
-                    species[tgt], new_elec, axis_name=ax)
-                ring_overwrite = ring_overwrite + dropped
+                _route_newborns(sc.ionizer.target_index, new_elec)
 
         # --- Column sort for the dense (MXU) deposition path: built
         # once per step after all particle creation, reused by the J

@@ -2,25 +2,34 @@
 
 gather_fields_sorted contracts a per-particle 4-corner bilinear weight
 matrix S (Nz, K, J) against the z-rolled extended field matrix
-F_ext (Nz, J, C), J = n_off * (Nr + 1).  In plain XLA the one-hot S
-must be materialized in HBM (~0.4 GB at bench size) and the mode-sum
-einsum adds another (Nz, K, C) round trip -- measured 4.47 ms at
-bench size, purely HBM-bound (tools/deposit_bench.py r4; the same
-pattern the Pallas deposit kernel removed).
+F_ext (Nz, J, C) -- in plain XLA the one-hot S must be materialized in
+HBM (~0.4 GB at bench size) and the mode-sum einsum adds another
+(Nz, K, C) round trip: measured 4.47 ms at bench size, HBM-bound.
 
-This kernel builds each corner's one-hot selector in VMEM and fetches
-the field columns on the MXU: per corner, an EXACT-bf16 one-hot
-selector contracts against the 3-term bf16 split of F_ext with f32
-accumulation (an f32-exact fetch of the 4 corner field values, the
-same split trick as pallas_fused.py), then the f32 corner weights,
-the exp(-i m theta) mode sum, and the cylindrical -> Cartesian
-rotation all run on the VPU in VMEM.  HBM traffic: the per-particle
-geometry rows (7 x (Nz, K)), F_ext (small), and the (Nz, 6, K)
-output -- no (Nz, K, J) or (Nz, K, C) intermediate ever exists.
+Design (v2 -- the v1 per-corner contraction was MXU-bound at ~3 ms:
+four one-hot fetches x 3 bf16 terms against a (C=24)-wide field block
+wastes 5.3x of every 128-lane MXU tile).  All four bilinear corners
+are BAKED INTO THE FIELD CHANNELS on the XLA side:
+
+    F4[b, o*Nrx + r, corner*C + c] =
+        field channel c at (z row b + o + dz_corner, radial row
+        r + dr_corner), dr clamped at the top edge
+
+so C4 = 4*C = 96 fills one 128-lane tile and each particle needs ONE
+one-hot fetch: j = (o_lo + D)*Nrx + l_r.  With the resident exact
+column sort, delta = iz_lower - col is always in {-1, 0} (the gather
+runs at the sort positions), so J2 = 2*Nrx ~ 102 -> one 128-wide
+contraction tile.  The fetch runs as an exact-bf16 one-hot against
+the 3-term bf16 split of F4 with f32 MXU accumulation (an f32-exact
+fetch, the same split trick as pallas_fused.py): 3 MXU passes per row
+of (128 x 128 x K) instead of v1's 12 passes of (128 x 256 x K).
+Corner weights, the exp(-i m theta) mode sum and the cylindrical
+rotation run on the VPU in VMEM; HBM traffic is the geometry rows
+(7 x (Nz, K)), F4 (~50 MB), and the (Nz, 6, K) output.
 
 Corner grouping differs from the XLA einsum at f32 rounding level
-when two corners clip onto the same (o, r) column (the XLA path sums
-their weights before multiplying); results agree to ~1e-6 relative.
+(weights are applied per corner instead of summed into one S);
+results agree to a few f32 ULPs.
 
 MEASURED: see the note appended near gather_sorted_pallas after the
 r5 on-chip bench run (tools/gather_bench.py isolates the gather;
@@ -28,7 +37,7 @@ bench.py measures the full step).
 
 Reference behavior being replaced: per-particle serialized gather on
 CUDA (/root/reference/fbpic/particles/gathering/cuda_methods.py:26-209);
-the one-hot MXU formulation is original TPU-first design.
+the corner-baked one-hot MXU formulation is original TPU-first design.
 """
 import functools
 import os
@@ -65,89 +74,74 @@ def _interpret_mode():
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_off", "Nrx", "Nm", "C", "Jp", "BZ",
-                              "guard_sign", "interpret"))
-def _gather_call(geo, F_ext, n_off, Nrx, Nm, C, Jp, BZ,
-                 guard_sign, interpret=False):
+    jax.jit, static_argnames=("Nrx", "Nm", "C", "Jp", "BZ", "interpret"))
+def _gather_call(geo, F4, Nrx, Nm, C, Jp, BZ, interpret=False):
     """pallas_call wrapper.  Returns (Nz, 8, K) f32:
     rows [Ex, Ey, Ez, Bx, By, Bz, 0, 0] (padded to a sublane multiple).
 
-    geo (Nz, 8, K): rows [o_lo, l_r, Sr_upper, Sz_upper, ok, cos,
-                          sin, 0]
-    F_ext (Nz, C, Jp): F_ext[b, c, o * Nrx + r] = field channel c of
-        radial row r (0 = signed axis guard) at z column b + o - D,
-        zero-padded to Jp lanes.  Channel layout comp-major
-        (Er,Et,Ez,Br,Bt,Bz) x mode x re/im (C = 12 * Nm).
-    guard_sign: unused here (already folded into F_ext); kept in the
-        signature so the cache key changes if the layout ever does.
+    geo (Nz, 8, K): rows [j, Sr_upper, Sz_upper, ok, cos, sin, 0, 0]
+        with j = (o_lo + D) * Nrx + l_r precomputed (f32).
+    F4 (Nz, C4p, Jp): corner-baked fields, C4p = round_up(4*C, 8);
+        corner blocks [z0r0, z0r1, z1r0, z1r1] x channel, channel
+        layout comp-major (Er,Et,Ez,Br,Bt,Bz) x mode x re/im.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Nz, _, K = geo.shape
+    C4p = F4.shape[1]
     f32 = jnp.float32
 
-    def kernel(geo_ref, fe_ref, out_ref):
+    def kernel(geo_ref, f4_ref, out_ref):
         iota_j = jax.lax.broadcasted_iota(jnp.int32, (Jp, K), 0)
         for b in range(BZ):
-            o_lo = geo_ref[b, 0:1, :]
-            l_r = geo_ref[b, 1:2, :]
-            sr_u = geo_ref[b, 2:3, :]
-            sz_u = geo_ref[b, 3:4, :]
-            ok = geo_ref[b, 4:5, :]
-            cos = geo_ref[b, 5:6, :]
-            sin = geo_ref[b, 6:7, :]
+            j = geo_ref[b, 0:1, :]
+            sr_u = geo_ref[b, 1:2, :]
+            sz_u = geo_ref[b, 2:3, :]
+            ok = geo_ref[b, 3:4, :]
+            cos = geo_ref[b, 4:5, :]
+            sin = geo_ref[b, 5:6, :]
             sr_l = 1.0 - sr_u
             sz_l = 1.0 - sz_u
-            o_hi = jnp.minimum(o_lo + 1.0, float(n_off - 1))
-            u_r = jnp.minimum(l_r + 1.0, float(Nrx - 1))
 
-            # 3-term bf16 split of the field block: each term is exact
-            # in bf16, the one-hot selector is exact in bf16, and the
-            # MXU accumulates f32 -- an f32-exact fetch (pallas_fused)
-            Fb = fe_ref[b]                              # (C, Jp) f32
-            terms = []
+            # ONE exact-bf16 one-hot fetch of all 4 corners x C
+            # channels, F4 split into 3 exact-bf16 terms with f32
+            # accumulation (f32-exact fetch; see pallas_fused.py)
+            S = (iota_j == j.astype(jnp.int32)).astype(jnp.bfloat16)
+            Fb = f4_ref[b]                              # (C4p, Jp) f32
+            acc = None
             Fr = Fb
             for t in range(3):
                 Ft = Fr.astype(jnp.bfloat16)
                 if t < 2:
                     Fr = Fr - Ft.astype(f32)
-                terms.append(Ft)
+                if interpret:
+                    # The interpreter accumulates bf16-input dots in
+                    # bf16 (the real MXU accumulates f32): feed it the
+                    # bf16-ROUNDED values as f32 at HIGHEST -- exactly
+                    # the hardware arithmetic.
+                    p = jax.lax.dot_general(
+                        Ft.astype(f32), S.astype(f32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
+                else:
+                    p = jax.lax.dot_general(
+                        Ft, S, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)     # (C4p, K)
+                acc = p if acc is None else acc + p
 
-            def fetch(o_idx, r_idx):
-                j = (o_idx * float(Nrx) + r_idx).astype(jnp.int32)
-                S = (iota_j == j).astype(jnp.bfloat16)  # (Jp, K)
-                acc = None
-                for Ft in terms:
-                    if interpret:
-                        # The interpreter accumulates bf16-input dots
-                        # in bf16 (the real MXU accumulates f32): feed
-                        # it the bf16-ROUNDED values as f32 at HIGHEST
-                        # -- exactly the hardware arithmetic.
-                        p = jax.lax.dot_general(
-                            Ft.astype(f32), S.astype(f32),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGHEST)
-                    else:
-                        p = jax.lax.dot_general(
-                            Ft, S, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)  # (C, K)
-                    acc = p if acc is None else acc + p
-                return acc
-
-            Fm = (fetch(o_lo, l_r) * (sz_l * sr_l * ok)
-                  + fetch(o_lo, u_r) * (sz_l * sr_u * ok)
-                  + fetch(o_hi, l_r) * (sz_u * sr_l * ok)
-                  + fetch(o_hi, u_r) * (sz_u * sr_u * ok))  # (C, K)
+            w00 = sz_l * sr_l * ok
+            w01 = sz_l * sr_u * ok
+            w10 = sz_u * sr_l * ok
+            w11 = sz_u * sr_u * ok
+            Fm = (acc[0 * C:1 * C] * w00 + acc[1 * C:2 * C] * w01
+                  + acc[2 * C:3 * C] * w10 + acc[3 * C:4 * C] * w11)
 
             # Mode sum: Re(Fm_c * e^{-i m theta}), weight 1 (m=0) / 2.
             # phase recurrence p_{m+1} = p_m * (cos - i sin)
-            pr, pi = jnp.ones_like(cos), jnp.zeros_like(sin)
-            six = []
-            for comp_i in range(6):
-                six.append(jnp.zeros_like(cos))
-            pr_m, pi_m = pr, pi
+            six = [jnp.zeros_like(cos) for _ in range(6)]
+            pr_m, pi_m = jnp.ones_like(cos), jnp.zeros_like(sin)
             for m in range(Nm):
                 w_m = 1.0 if m == 0 else 2.0
                 for comp_i in range(6):
@@ -177,13 +171,13 @@ def _gather_call(geo, F_ext, n_off, Nrx, Nm, C, Jp, BZ,
         in_specs=[
             pl.BlockSpec((BZ, 8, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BZ, C, Jp), lambda i: (i, 0, 0),
+            pl.BlockSpec((BZ, C4p, Jp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BZ, 8, K), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(geo, F_ext)
+    )(geo, F4)
 
 
 def _pick_bz(Nz):
@@ -211,19 +205,34 @@ def gather_sorted_pallas(o_lo, l_r, sr_upper, sz_upper, ok, cos, sin,
     BZ = _pick_bz(Nz)
     D = (n_off - 1) // 2
 
-    geo = jnp.stack([o_lo, l_r, sr_upper, sz_upper, ok, cos, sin,
-                     jnp.zeros_like(ok)], axis=1).astype(f32)
-    # (Nz, J, C): rolled copies along z, then -> (Nz, C, Jp)
+    j = (o_lo * float(Nrx) + l_r).astype(f32)
+    geo = jnp.stack([j, sr_upper, sz_upper, ok, cos, sin,
+                     jnp.zeros_like(ok), jnp.zeros_like(ok)],
+                    axis=1).astype(f32)
+
+    # Corner-baked field blocks: r+1 with top clamp (matches the XLA
+    # path's u_r = min(l_r + 1, Nr)), z+1 via roll (periodic wrap --
+    # identical to the XLA F_ext roll; open-z grids have damped edges)
+    Fr1 = jnp.concatenate([Fg[:, 1:], Fg[:, -1:]], axis=1)
+    Fz1 = jnp.roll(Fg, -1, axis=0)
+    Fz1r1 = jnp.roll(Fr1, -1, axis=0)
+    F4c = jnp.concatenate([Fg, Fr1, Fz1, Fz1r1], axis=-1)  # (Nz,Nrx,4C)
+    # XLA-path parity at the top of the offset window: o_hi =
+    # min(o_lo + 1, n_off - 1), i.e. at o_lo = n_off - 1 (clipped edge
+    # stragglers) the z-high corner collapses onto the z-low row --
+    # bake that variant into the TOP o block
+    F4clip = jnp.concatenate([Fg, Fr1, Fg, Fr1], axis=-1)
+    # z-offset copies for o in [-D, D] -> j blocks of Nrx
     F_ext = jnp.concatenate(
-        [jnp.roll(Fg, -o, axis=0) for o in range(-D, D + 1)], axis=1)
-    F_ext = jnp.swapaxes(F_ext, 1, 2).astype(f32)       # (Nz, C, J)
-    if Jp > J:
-        F_ext = jnp.concatenate(
-            [F_ext, jnp.zeros((Nz, C, Jp - J), f32)], axis=2)
+        [jnp.roll(F4c if o < D else F4clip, -o, axis=0)
+         for o in range(-D, D + 1)], axis=1)
+    F_ext = jnp.swapaxes(F_ext, 1, 2).astype(f32)       # (Nz, 4C, J)
+    C4p = _round_up(4 * C, 8)
+    pads = [(0, 0), (0, C4p - 4 * C), (0, Jp - J)]
+    F_ext = jnp.pad(F_ext, pads)
 
     if interpret is None:
         interpret = _interpret_mode()
-    out = _gather_call(geo, F_ext, n_off=n_off, Nrx=Nrx, Nm=Nm, C=C,
-                       Jp=Jp, BZ=BZ, guard_sign=None,
+    out = _gather_call(geo, F_ext, Nrx=Nrx, Nm=Nm, C=C, Jp=Jp, BZ=BZ,
                        interpret=interpret)
     return tuple(out[:, i, :] for i in range(6))

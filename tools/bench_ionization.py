@@ -54,7 +54,10 @@ def main():
     ion = sim.add_new_species(q=5 * e, m=14. * m_p, n=1.e23,
                               p_zmin=0., p_zmax=500.e-6,
                               p_rmax=18.e-6, p_nz=2, p_nr=2, p_nt=4)
-    elec_from_N = sim.add_new_species(q=-e, m=m_e, capacity=262144)
+    # sort_K > 0 on the (initially empty) target species keeps it on
+    # the resident fast path: capacity becomes Nz * sort_K and ionized
+    # electrons land in dead slots of their own z row (r5)
+    elec_from_N = sim.add_new_species(q=-e, m=m_e, sort_K=256)
     ion.make_ionizable("N", target_species=elec_from_N, level_start=5)
     elec_from_N.track(sim.comm)
     add_laser_pulse(sim, GaussianLaser(a0=4., waist=5.e-6,
