@@ -137,6 +137,7 @@ class SpeciesView:
         sim._compton_auxes[idx] = build_compton_aux(
             laser_energy, laser_wavelength, laser_waist, laser_ctau,
             laser_initial_z0, boost=boost or sim.boost)
+        sim._ensure_capacity(cfg.target_index, cfg.buffer_size)
         sim._step_fns.clear()
 
     def make_ionizable(self, element, target_species, level_start=0,
@@ -188,6 +189,12 @@ class SpeciesView:
         species[idx] = sp
         sim.state = dataclasses.replace(sim.state, species=tuple(species))
         sim._ionizer_auxes[idx] = ion_aux
+        # A default-capacity (empty) target species must at least hold
+        # one full creation buffer, or write_ring would wrap within a
+        # single append; ring overflow later auto-grows it further
+        # (_consume_overflow_counters).
+        for tgt in set(per_level) or {target_index}:
+            sim._ensure_capacity(tgt, cfg.buffer_size)
         sim._step_fns.clear()
 
     def __setattr__(self, name, value):
@@ -949,6 +956,25 @@ class Simulation:
             progress.print_summary()
         self._consume_overflow_counters()
 
+    def _ensure_capacity(self, index, min_capacity, factor=1.0):
+        """Grow species ``index``'s arrays to at least ``min_capacity``
+        (lane-rounded) with dead slots -- the analog of the reference's
+        unbounded array growth.  Resident species are excluded: their
+        capacity is tied to Nz * sort_K (grown via the sort_K bump)."""
+        from ..particles.state import pad_particle_state
+        sc = self.species_configs[index]
+        sp = self.state.species[index]
+        new_cap = int(-(-max(min_capacity, int(factor * sp.capacity))
+                        // 128) * 128)
+        if sc.resident or new_cap <= sp.capacity:
+            return None
+        species = list(self.state.species)
+        species[index] = pad_particle_state(sp, new_cap)
+        self.state = dataclasses.replace(self.state,
+                                         species=tuple(species))
+        self._step_fns.clear()
+        return new_cap
+
     def _consume_overflow_counters(self):
         """Check the IN-JIT overflow counters (one batched host read
         per step() call -- each host<->device round trip costs tens of
@@ -1002,11 +1028,30 @@ class Simulation:
                 f"larger sort_K to add_new_species to avoid the "
                 f"recompile.", RuntimeWarning)
         if n_ring is not None and int(n_ring) > 0:
+            # Auto-grow the ring-append species that are close to full
+            # (the counter is global, so fill fraction identifies the
+            # culprit) -- the analog of the reference's unbounded array
+            # growth.  Subsequent chunks recompile with the new
+            # capacity; the overflowing step's particles are lost
+            # (warned), exactly like the sort_K bump above.
+            grown = []
+            for i, sc in enumerate(self.species_configs):
+                sp = self.state.species[i]
+                if sc.resident or not self.ptcl[i]._can_grow:
+                    continue
+                n_live = int(jax.device_get(jnp.sum(sp.w != 0)))
+                if n_live > 0.5 * sp.capacity:
+                    new_cap = self._ensure_capacity(i, 0, factor=2.0)
+                    if new_cap:
+                        grown.append(f"{sc.name}: -> {new_cap}")
             warnings.warn(
-                f"Continuous injection overwrote {int(n_ring)} live "
-                "particle(s) (ring buffer full -- e.g. trapped charge "
-                "that outlived one box crossing). Increase `capacity` "
-                "in add_new_species to keep them.", RuntimeWarning)
+                f"{int(n_ring)} created/injected particle(s) found "
+                "their species' ring buffer full this chunk (they were "
+                "dropped or overwrote live particles)"
+                + (f"; capacity auto-grown ({'; '.join(grown)}) for "
+                   f"subsequent steps" if grown else "")
+                + ".  Pass a larger `capacity` to add_new_species to "
+                "avoid the recompile.", RuntimeWarning)
         if (n_sort is not None and int(n_sort) > 0) or (
                 n_ring is not None and int(n_ring) > 0):
             # DISTINCT zero buffers: aliasing one array into two state

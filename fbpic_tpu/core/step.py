@@ -586,20 +586,35 @@ def _append_new_particles(esp, new, axis_name=None):
         values["ids"], values["ids_hi"] = _two_word_ids(
             base_lo, base_hi, nb)
 
+    # A creation buffer larger than the ring itself would wrap within
+    # ONE write_ring call: duplicate ring indices make the masked
+    # "keep old" writes of the empty buffer tail clobber the new
+    # particles nondeterministically.  The buffer is front-packed, so
+    # truncating keeps every newborn that can possibly fit; the excess
+    # is counted as dropped (-> ring_overwrite -> capacity auto-grow).
+    if nb > esp.capacity:
+        values = {name: vals[:esp.capacity]
+                  for name, vals in values.items()}
+        mask_w = mask[:esp.capacity]
+    else:
+        mask_w = mask
+
     updates = {}
     if axis_name is None:
         for name, vals in values.items():
             updates[name] = write_ring(getattr(esp, name), esp.next_free,
-                                       vals, esp.capacity, mask)
-        dropped = jnp.zeros((), jnp.int32)
+                                       vals, esp.capacity, mask_w)
+        dropped = (n_new
+                   - jnp.sum(mask_w.astype(jnp.int32))).astype(jnp.int32)
     else:
         # Dead-slot writes (same scheme as migration / mesh injection).
         # `new` is front-packed (creation buffers are), so slot i of
         # the buffer maps to dead slot i directly.
         dead_order = jnp.argsort(esp.w != 0)         # dead slots first
         n_dead = jnp.sum(esp.w == 0)
-        slots = dead_order[:nb]
-        ok = mask & (jnp.arange(nb) < n_dead)
+        nb_w = min(nb, esp.capacity)
+        slots = dead_order[:nb_w]
+        ok = mask_w & (jnp.arange(nb_w) < n_dead)
         dropped = (n_new - jnp.sum(ok)).astype(jnp.int32)
         for name, vals in values.items():
             arr = getattr(esp, name)

@@ -29,6 +29,7 @@ from jax import shard_map
 from ..fields.solver import GridConfig
 from ..fields import transform as tr
 from ..core.state import SimState
+from ..particles.compaction import topk_compact
 from ..core import step as step_mod
 from ..core.step import StepOptions
 
@@ -160,18 +161,10 @@ def migrate_particles(sp, config_local, zmin, axis_name, buffer_size,
         go_right = go_right & ~kill_right
 
     def compact(mask):
-        idx = jnp.cumsum(mask) - 1                    # target slot
-        take = mask & (idx < buffer_size)
-        bufs = {}
-        for name in fields:
-            arr = getattr(sp, name)
-            zero = jnp.zeros((), arr.dtype)
-            buf = jnp.zeros(buffer_size, arr.dtype)
-            buf = buf.at[jnp.where(take, idx, buffer_size)].set(
-                jnp.where(take, arr, zero), mode="drop")
-            bufs[name] = buf
-        n_lost = jnp.sum(mask) - jnp.sum(take)
-        return bufs, n_lost.astype(jnp.int32)
+        # top_k compaction, not per-channel scatters (compaction.py)
+        bufs, n_sel, n_taken = topk_compact(
+            mask, buffer_size, {f: getattr(sp, f) for f in fields})
+        return bufs, (n_sel - n_taken).astype(jnp.int32)
 
     left_buf, lost_l = compact(go_left)
     right_buf, lost_r = compact(go_right)
@@ -212,17 +205,8 @@ def migrate_particles(sp, config_local, zmin, axis_name, buffer_size,
                 for k in fields}
     capacity = sp.w.shape[0]
     n_in = min(2 * buffer_size, capacity)
-    valid_raw = incoming["w"] != 0
-    pos = jnp.cumsum(valid_raw) - 1
-    take = valid_raw & (pos < n_in)
-    packed = {}
-    for name in fields:
-        arr = incoming[name]
-        zero = jnp.zeros((), arr.dtype)
-        buf = jnp.zeros(n_in, arr.dtype)
-        packed[name] = buf.at[jnp.where(take, pos, n_in)].set(
-            jnp.where(take, arr, zero), mode="drop")
-    n_live_in = jnp.sum(valid_raw)
+    packed, n_live_in, _ = topk_compact(incoming["w"] != 0, n_in,
+                                        incoming)
 
     # Write compacted arrivals into genuinely dead slots only.  Dead
     # slots come first in dead_order, so arrival i lands in

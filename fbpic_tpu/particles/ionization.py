@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..utils.pytree import pytree_dataclass, static_dataclass
 from ..utils.dtypes import real_dtype
 from ..constants import c, e, m_e
+from .compaction import topk_compact
 
 # Full NIST ionization-energy table (public-domain NIST ASD data; the
 # file carries the NIST license/citation header).  Covers H-Ar, Kr, Xe,
@@ -187,23 +188,16 @@ def ionize(sp, E, B, ion_cfg: IonizerConfig, ion_aux: IonizerAux, key):
         "ionization_level": jnp.where(ionized, level + 1, level),
     })
 
-    # Compact the new electrons into a fixed-size buffer
-    B_size = ion_cfg.buffer_size
-    idx = jnp.cumsum(ionized) - 1
-    take = ionized & (idx < B_size)
-    slots = jnp.where(take, idx, B_size)
-
-    new = {}
-    for name in ("x", "y", "z", "ux", "uy", "uz", "inv_gamma", "w"):
-        arr = getattr(sp, name)
-        buf = jnp.zeros(B_size, arr.dtype)
-        new[name] = buf.at[slots].set(jnp.where(take, arr, 0.0),
-                                      mode="drop")
-    # Birth level (the ion's level BEFORE this ionization): used to
-    # route electrons to per-level target species
-    lvl_buf = jnp.zeros(B_size, jnp.int32)
-    new["level"] = lvl_buf.at[slots].set(
-        jnp.where(take, level, 0).astype(jnp.int32), mode="drop")
+    # Compact the new electrons into a fixed-size buffer (top_k + small
+    # gathers, not per-channel scatters -- 9 scatters of the padded
+    # layout's N~1.3e6 cost ~48 ms/step on TPU; see compaction.py).
+    # 'level' is the ion's level BEFORE this ionization: used to route
+    # electrons to per-level target species.
+    arrays = {name: getattr(sp, name)
+              for name in ("x", "y", "z", "ux", "uy", "uz",
+                           "inv_gamma", "w")}
+    arrays["level"] = level.astype(jnp.int32)
+    new, _, _ = topk_compact(ionized, ion_cfg.buffer_size, arrays)
     # Electrons inherit the ion momentum (recoil neglected, as in the
     # reference); weight is the plain macroparticle weight
     return sp_new, new

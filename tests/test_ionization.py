@@ -171,3 +171,38 @@ if __name__ == "__main__":
     test_adk_rate_static_field()
     test_full_atomic_table()
     test_chen2013_n5_fraction()
+
+
+def test_small_capacity_target_receives_electrons():
+    """Regression: a default-capacity (empty) target species is smaller
+    than the creation buffer; write_ring used to wrap within one append
+    and the masked 'keep old' writes clobbered the new electrons
+    nondeterministically.  make_ionizable now grows the target to hold
+    one buffer, and every stripped level must land one electron.
+    (Reference grows target arrays unboundedly:
+    elementary_process/cuda_numba_utils.py:60-120.)"""
+    from fbpic_tpu.lpa_utils.laser import add_laser_pulse, GaussianLaser
+
+    Nz, Nr, Nm = 120, 24, 2
+    zmax, zmin, rmax = 15.e-6, -5.e-6, 10.e-6
+    dt = (zmax - zmin) / Nz / c
+    sim = Simulation(Nz, zmax, Nr, rmax, Nm, dt, zmin=zmin,
+                     boundaries={"z": "open", "r": "reflective"},
+                     random_seed=0, verbose_level=0)
+    ion = sim.add_new_species(q=5 * e, m=14. * m_p, n=1.e23,
+                              p_zmin=2.e-6, p_zmax=12.e-6,
+                              p_rmax=8.e-6, p_nz=2, p_nr=2, p_nt=4)
+    elec_from_N = sim.add_new_species(q=-e, m=m_e)   # default capacity
+    ion.make_ionizable("N", target_species=elec_from_N, level_start=5)
+    assert sim.state.species[elec_from_N._index].capacity >= 8192
+    add_laser_pulse(sim, GaussianLaser(a0=2., waist=4.e-6, tau=10.e-15,
+                                       z0=0.))
+    sim.step(60, show_progress=False)
+
+    lev = np.asarray(sim.state.species[ion._index].ionization_level)
+    w_i = np.asarray(sim.state.species[ion._index].w)
+    levels_gained = int((lev[w_i != 0] - 5).sum())
+    w_e = np.asarray(sim.state.species[elec_from_N._index].w)
+    n_new = int((w_e != 0).sum())
+    assert levels_gained > 20      # the laser must strip some N5+
+    assert n_new == levels_gained, (n_new, levels_gained)
