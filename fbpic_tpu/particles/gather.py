@@ -243,10 +243,13 @@ def gather_fields_sorted(
         gather_sorted_pallas
     if pallas_gather_enabled(rdt):
         # Pallas kernel: the one-hot S and the (Nz, K, C) mode-sum
-        # intermediate never hit HBM (see pallas_gather.py)
-        return gather_sorted_pallas(
+        # intermediate never hit HBM (see pallas_gather.py).  Returns
+        # None when the geometry exceeds the kernel's VMEM budget.
+        out = gather_sorted_pallas(
             o_lo.astype(rdt), l_r.astype(rdt), Sr_upper, Sz_upper, ok,
             cos, sin, Fg, n_off=n_off, Nm=Nm, Nz=Nz, Nr=Nr)
+        if out is not None:
+            return out
 
     def onehot(o_idx, ridx, wgt):
         j = o_idx * Nrx + ridx

@@ -222,15 +222,48 @@ def _fused_contract_call(chJ, zwJ, sA, dph, phb, zwa, zwb, tables,
         ],
         out_specs=pl.BlockSpec((BZ, NRP, Wp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(chJ, zwJ, sA, dph, phb, zwa, zwb, tables)
 
 
-def _pick_bz(Nz):
-    for cand in (8, 6, 4, 3, 2):
-        if Nz % cand == 0:
+# Per-kernel VMEM budget: v5e-class chips have 128 MiB of VMEM; the
+# XLA default SCOPED limit is 16 MiB, which large configs (Nm=3,
+# Nr=120 -> K~2.7k, W=220) exceed.  The kernels raise the scoped limit
+# via CompilerParams and size their z-block (BZ) against this budget.
+_VMEM_BUDGET = int(os.environ.get(
+    "FBPIC_TPU_PALLAS_VMEM_MB", "48")) * 2**20
+_VMEM_LIMIT = 2 * _VMEM_BUDGET
+
+
+def _fused_vmem_bytes(BZ, K, CJ, CD, n_offJ, n_offD, NRP, Wp, NT):
+    """Conservative VMEM footprint model of _fused_contract_call.
+
+    Double-buffered operand/output blocks scale with BZ; the unrolled
+    row body's stack scratch (V blocks + concat + bf16 split terms +
+    the one-hots) is reused across rows (verified against the XLA
+    scoped-vmem report at the Nm=3 refexact shape: 16.92M total =
+    ~11M blocks + ~5.9M scratch at BZ=8, K=2688, W=220)."""
+    W = n_offJ * 2 * CJ + n_offD * 2 * CD
+    blocks = (BZ * K * 4 * (CJ + n_offJ + 8 + 2 * CD + 2 * n_offD)
+              + BZ * NRP * Wp * 4)
+    row = ((2 * W + CJ + CD + 24) * K * 4     # V blocks/temps (f32)
+           + W * K * 2                        # bf16 split term
+           + NRP * K * 2                      # one-hot S (bf16)
+           + NT * K * 4)                      # Ruyten one-hot (f32)
+    return 2 * blocks + row
+
+
+def _pick_bz(Nz, vmem_of_bz=None):
+    """Largest BZ dividing Nz whose footprint fits the budget, or
+    None when even BZ=1 does not fit (caller falls back to XLA)."""
+    for cand in (8, 6, 4, 3, 2, 1):
+        if Nz % cand:
+            continue
+        if vmem_of_bz is None or vmem_of_bz(cand) <= _VMEM_BUDGET:
             return cand
-    return 1
+    return None
 
 
 def fused_onehot_contract(geom, channels, meta, span, dph, ph_b, wj,
@@ -252,7 +285,10 @@ def fused_onehot_contract(geom, channels, meta, span, dph, ph_b, wj,
     W = n_offJ * 2 * CJ + n_offD * 2 * CD
     Wp = _round_up(W, 128)
     NT = _round_up(Nr + 1, 128)
-    BZ = _pick_bz(Nz)
+    BZ = _pick_bz(Nz, lambda bz: _fused_vmem_bytes(
+        bz, K, CJ, CD, n_offJ, n_offD, NRP, Wp, NT))
+    if BZ is None:
+        return None            # caller falls back to the XLA einsum
     f32 = jnp.float32
 
     chJ = jnp.swapaxes(channels, 1, 2)                 # (Nz, CJ, K)

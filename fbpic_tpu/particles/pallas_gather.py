@@ -45,6 +45,8 @@ import os
 import jax
 import jax.numpy as jnp
 
+from .pallas_fused import _VMEM_BUDGET, _VMEM_LIMIT
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -176,15 +178,34 @@ def _gather_call(geo, F4, Nrx, Nm, C, Jp, BZ, interpret=False):
         ],
         out_specs=pl.BlockSpec((BZ, 8, K), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(geo, F4)
 
 
-def _pick_bz(Nz):
-    for cand in (8, 6, 4, 3, 2):
-        if Nz % cand == 0:
+def _gather_vmem_bytes(BZ, K, C4p, Jp):
+    """Conservative VMEM footprint of _gather_call: double-buffered
+    blocks (scale with BZ) + row-body stack scratch (reused across the
+    unrolled rows; same model as pallas_fused._fused_vmem_bytes)."""
+    blocks = BZ * K * 4 * (8 + 8) + BZ * C4p * Jp * 4
+    row = (Jp * K * 4            # iota_j (int32)
+           + Jp * K * 2          # one-hot S (bf16)
+           + 2 * C4p * K * 4     # acc + dot partial (f32)
+           + C4p * Jp * 6        # bf16 split terms of Fb
+           + 30 * K * 4)         # Fm rows, mode sum, out concat
+    return 2 * blocks + row
+
+
+def _pick_bz(Nz, vmem_of_bz=None):
+    """Largest BZ dividing Nz whose footprint fits the budget, or
+    None when even BZ=1 does not fit (caller falls back to XLA)."""
+    for cand in (8, 6, 4, 3, 2, 1):
+        if Nz % cand:
+            continue
+        if vmem_of_bz is None or vmem_of_bz(cand) <= _VMEM_BUDGET:
             return cand
-    return 1
+    return None
 
 
 def gather_sorted_pallas(o_lo, l_r, sr_upper, sz_upper, ok, cos, sin,
@@ -202,7 +223,10 @@ def gather_sorted_pallas(o_lo, l_r, sr_upper, sz_upper, ok, cos, sin,
     J = n_off * Nrx
     Jp = _round_up(J, 128)
     K = o_lo.shape[1]
-    BZ = _pick_bz(Nz)
+    C4p = _round_up(4 * C, 8)
+    BZ = _pick_bz(Nz, lambda bz: _gather_vmem_bytes(bz, K, C4p, Jp))
+    if BZ is None:
+        return None            # caller falls back to the XLA einsum
     D = (n_off - 1) // 2
 
     j = (o_lo * float(Nrx) + l_r).astype(f32)
@@ -227,7 +251,6 @@ def gather_sorted_pallas(o_lo, l_r, sr_upper, sz_upper, ok, cos, sin,
         [jnp.roll(F4c if o < D else F4clip, -o, axis=0)
          for o in range(-D, D + 1)], axis=1)
     F_ext = jnp.swapaxes(F_ext, 1, 2).astype(f32)       # (Nz, 4C, J)
-    C4p = _round_up(4 * C, 8)
     pads = [(0, 0), (0, C4p - 4 * C), (0, Jp - J)]
     F_ext = jnp.pad(F_ext, pads)
 

@@ -629,15 +629,17 @@ def deposit_rho_J_sorted(sort, x, y, z, w, q, ux, uy, uz, inv_gamma,
     n_offJ = dj_hi + 2 - dj_lo
     W_J = n_offJ * 2 * channels.shape[2]
     from .pallas_fused import pallas_fused_enabled, fused_onehot_contract
+    out_all = None
     if pallas_fused_enabled(x.dtype):
         # Pallas kernel: V and the one-hot S built in VMEM, identical
         # bf16-split math -- the XLA path's (Nz, K, W) V terms never
-        # hit HBM (see pallas_fused.py)
+        # hit HBM (see pallas_fused.py).  Returns None when the
+        # geometry exceeds the kernel's VMEM budget.
         out_all = fused_onehot_contract(
             geom, channels, meta, span, ph_b - ph_a, ph_b, wj,
             ruyten_linear, Nm, Nz, Nr,
             n_offJ=n_offJ, n_offD=len(o_range))
-    else:
+    if out_all is None:
         V_D = _build_V_span_diff(span, ph_a, ph_b, wj, meta2_,
                                  ruyten_linear, n_blocks=len(o_range))
         S = jax.nn.one_hot(geom["ir_buf"], Nrb, dtype=x.dtype)
