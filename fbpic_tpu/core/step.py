@@ -1112,11 +1112,17 @@ def make_step_fn(config: GridConfig, species_configs, options: StepOptions,
 
                     # f32 knife edge (advisor r4): a cell-edge
                     # coordinate can round across the next integer and
-                    # escape the analytic band, which would PERMANENTLY
-                    # drop the particle.  n_over counts every escaped
-                    # or overflowed particle; redo the exact flat sort
-                    # in that (rare) case instead of paying a +1 band
-                    # every step (~12 ms at bench size).
+                    # escape the analytic band.  The resort CLAMPS
+                    # such escapees into the nearest in-band row (see
+                    # banded_column_resort -- exact-in-effect, and the
+                    # existing knife-edge margins of the deposit /
+                    # gather windows cover the off-by-one row), so
+                    # n_over here counts only genuine column-K
+                    # overflow; redo the exact flat sort in that rare
+                    # case.  (Measured r5: redo-on-escape fired nearly
+                    # every step -- ~30 knife-edge flips/step at 576k
+                    # particles -- hiding an 8.7 ms/step flat sort in
+                    # the banded branch.)
                     def _redo(pl):
                         f = build_column_sort(pl[2], pl[3], zmin,
                                               1.0 / config.dz,

@@ -39,6 +39,20 @@ _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("FBPIC_TPU_MATMUL_PRECISION", "highest").lower()]
 
+# The E/B field transforms run at HIGH (3-pass, ~1e-6 relative) by
+# default: the 1/k^2 mode-0 amplification above is specific to the
+# SOURCE pipeline (rho/J feed the current correction's inv_k2), while
+# ~1e-6 noise on the gathered E/B is ~3 orders below the measured f32
+# summation-order floor of a production run (VERDICT r4: any
+# reordering moves a 450-step wake by 3-6%; the 100-step golden-wake
+# pin sits 10x above its reordering floor and gates this).  Set
+# FBPIC_TPU_MATMUL_PRECISION_EB=highest to restore 6-pass everywhere.
+_PRECISION_EB = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("FBPIC_TPU_MATMUL_PRECISION_EB", "high").lower()]
+
 
 def dft_matrices(Nz):
     """Dense DFT matrices (numpy convention: forward unnormalized).
@@ -255,17 +269,18 @@ def dft_factorization_arrays(Nz, dev):
     return {}
 
 
-def dht(M: jax.Array, F: CArr) -> CArr:
+def dht(M: jax.Array, F: CArr, precision=None) -> CArr:
     """Batched radial transform: out[m, z, s] = sum_r F[m, z, r] M[m, r, s].
 
     M is real (Nm, Nr, Nr) so the complex transform is two real GEMMs.
     """
     pe = M.dtype
+    prec = precision or _PRECISION
     return CArr(
         jnp.einsum("mzr,mrs->mzs", F.re, M, preferred_element_type=pe,
-                   precision=_PRECISION),
+                   precision=prec),
         jnp.einsum("mzr,mrs->mzs", F.im, M, preferred_element_type=pe,
-                   precision=_PRECISION),
+                   precision=prec),
     )
 
 
@@ -281,7 +296,8 @@ def _zmatmul(Wre, Wim, F: CArr) -> CArr:
     )
 
 
-def _zmatmul_split_many(WM_re, WM_im, tw_re, tw_im, fields):
+def _zmatmul_split_many(WM_re, WM_im, tw_re, tw_im, fields,
+                        precision=None):
     """One-level Cooley-Tukey z-transform of a list of CArr.
 
     X[k] = sum_r tw[k, r] * (DFT_M x[r::R])[k mod M]: R batched (M, M)
@@ -296,10 +312,11 @@ def _zmatmul_split_many(WM_re, WM_im, tw_re, tw_im, fields):
     q = Q.shape[-1]
     # Strided subsequences x[r::R]: (Nm, Nz, q) -> (Nm, R, M, q)
     Qr = Q.reshape(Nm, M, R, q).transpose(0, 2, 1, 3)
+    prec = precision or _PRECISION
     A = jnp.einsum("um,nrmq->nruq", WM_re, Qr, preferred_element_type=pe,
-                   precision=_PRECISION)
+                   precision=prec)
     B = jnp.einsum("um,nrmq->nruq", WM_im, Qr, preferred_element_type=pe,
-                   precision=_PRECISION)
+                   precision=prec)
     # Tile the length-M sub-spectra along k and combine with twiddles
     At = jnp.tile(A, (1, 1, R, 1))                   # (Nm, R, Nz, q)
     Bt = jnp.tile(B, (1, 1, R, 1))
@@ -343,7 +360,8 @@ def _twiddle_packed(Y, twre, twim, Nr):
     return out.reshape(sh)
 
 
-def _zmatmul_fourstep_many(mats: TransformMatrices, fields, forward):
+def _zmatmul_fourstep_many(mats: TransformMatrices, fields, forward,
+                           precision=None):
     """Four-step (Bailey) z-transform of a list of CArr (Nm, Nz, Nr).
 
     Two dense batched matmul stages with an elementwise twiddle in
@@ -363,9 +381,10 @@ def _zmatmul_fourstep_many(mats: TransformMatrices, fields, forward):
     pe = W1re.dtype
     Q = jnp.concatenate([x for F in fields for x in (F.re, F.im)], axis=-1)
     q = Q.shape[-1]
+    prec = precision or _PRECISION
     ein = lambda spec, W, X: jnp.einsum(spec, W, X,
                                         preferred_element_type=pe,
-                                        precision=_PRECISION)
+                                        precision=prec)
     if forward:
         # x indexed n = n1 + N1 n2 -> axes (n2, n1); out k = k2 + N2 k1
         X4 = Q.reshape(Nm, N2, N1, q)
@@ -466,7 +485,7 @@ def partial_interp2spect(mats: TransformMatrices, F: CArr) -> CArr:
 # transform stage into one well-tiled matmul.
 # ---------------------------------------------------------------------
 
-def _zmatmul_many(Wre, Wim, fields):
+def _zmatmul_many(Wre, Wim, fields, precision=None):
     """Apply the z-axis complex matrix to a list of CArr (Nm, Nz, Nr).
 
     Concatenates all re/im planes along the trailing axis into one GEMM.
@@ -475,10 +494,11 @@ def _zmatmul_many(Wre, Wim, fields):
     Nm, Nz, Nr = fields[0].shape
     pe = Wre.dtype
     Q = jnp.concatenate([x for F in fields for x in (F.re, F.im)], axis=-1)
+    prec = precision or _PRECISION
     A = jnp.einsum("uz,mzq->muq", Wre, Q, preferred_element_type=pe,
-                   precision=_PRECISION)
+                   precision=prec)
     B = jnp.einsum("uz,mzq->muq", Wim, Q, preferred_element_type=pe,
-                   precision=_PRECISION)
+                   precision=prec)
     out = []
     for i in range(n):
         re_sl = slice((2 * i) * Nr, (2 * i + 1) * Nr)
@@ -489,25 +509,31 @@ def _zmatmul_many(Wre, Wim, fields):
     return out
 
 
-def fft_z_many(mats: TransformMatrices, fields):
+def fft_z_many(mats: TransformMatrices, fields, precision=None):
     if mats.W1f_re is not None:
-        return _zmatmul_fourstep_many(mats, fields, forward=True)
+        return _zmatmul_fourstep_many(mats, fields, forward=True,
+                                      precision=precision)
     if mats.WfM_re is not None:
         return _zmatmul_split_many(mats.WfM_re, mats.WfM_im,
-                                   mats.twf_re, mats.twf_im, fields)
-    return _zmatmul_many(mats.Wf_re, mats.Wf_im, fields)
+                                   mats.twf_re, mats.twf_im, fields,
+                                   precision=precision)
+    return _zmatmul_many(mats.Wf_re, mats.Wf_im, fields,
+                         precision=precision)
 
 
-def ifft_z_many(mats: TransformMatrices, fields):
+def ifft_z_many(mats: TransformMatrices, fields, precision=None):
     if mats.W1i_re is not None:
-        return _zmatmul_fourstep_many(mats, fields, forward=False)
+        return _zmatmul_fourstep_many(mats, fields, forward=False,
+                                      precision=precision)
     if mats.WiM_re is not None:
         return _zmatmul_split_many(mats.WiM_re, mats.WiM_im,
-                                   mats.twi_re, mats.twi_im, fields)
-    return _zmatmul_many(mats.Wi_re, mats.Wi_im, fields)
+                                   mats.twi_re, mats.twi_im, fields,
+                                   precision=precision)
+    return _zmatmul_many(mats.Wi_re, mats.Wi_im, fields,
+                         precision=precision)
 
 
-def _dht_many(M_list, fields):
+def _dht_many(M_list, fields, precision=None):
     """Batched DHT over (matrix, field) pairs sharing the mode batch.
 
     M_list: list of (Nm, Nr, Nr); fields: matching list of CArr.
@@ -517,10 +543,11 @@ def _dht_many(M_list, fields):
     Fre = jnp.concatenate([F.re for F in fields], axis=0)
     Fim = jnp.concatenate([F.im for F in fields], axis=0)
     pe = M.dtype
+    prec = precision or _PRECISION
     Re = jnp.einsum("bzr,brs->bzs", Fre, M, preferred_element_type=pe,
-                   precision=_PRECISION)
+                   precision=prec)
     Im = jnp.einsum("bzr,brs->bzs", Fim, M, preferred_element_type=pe,
-                   precision=_PRECISION)
+                   precision=prec)
     Nm = fields[0].shape[0]
     return [CArr(Re[i * Nm:(i + 1) * Nm], Im[i * Nm:(i + 1) * Nm])
             for i in range(len(fields))]
@@ -531,22 +558,23 @@ def spect2interp_EB_fields(mats: TransformMatrices, Ep, Em, Ez, Bp, Bm, Bz):
     p_e, m_e, z_e, p_b, m_b, z_b = _dht_many(
         [mats.invMp, mats.invMm, mats.invM0,
          mats.invMp, mats.invMm, mats.invM0],
-        [Ep, Em, Ez, Bp, Bm, Bz])
+        [Ep, Em, Ez, Bp, Bm, Bz], precision=_PRECISION_EB)
     Er, Et = pm_to_rt(p_e, m_e)
     Br, Bt = pm_to_rt(p_b, m_b)
-    out = ifft_z_many(mats, [Er, Et, z_e, Br, Bt, z_b])
+    out = ifft_z_many(mats, [Er, Et, z_e, Br, Bt, z_b],
+                      precision=_PRECISION_EB)
     return tuple(out)  # (Er, Et, Ez, Br, Bt, Bz)
 
 
 def interp2spect_EB_fields(mats: TransformMatrices, Er, Et, Ez, Br, Bt, Bz):
     """Fused interp->spect for all 6 E/B components."""
     fr_e, ft_e, fz_e, fr_b, ft_b, fz_b = fft_z_many(
-        mats, [Er, Et, Ez, Br, Bt, Bz])
+        mats, [Er, Et, Ez, Br, Bt, Bz], precision=_PRECISION_EB)
     p_e, m_e = rt_to_pm(fr_e, ft_e)
     p_b, m_b = rt_to_pm(fr_b, ft_b)
     Ep, Em, Ez_s, Bp, Bm, Bz_s = _dht_many(
         [mats.Mp, mats.Mm, mats.M0, mats.Mp, mats.Mm, mats.M0],
-        [p_e, m_e, fz_e, p_b, m_b, fz_b])
+        [p_e, m_e, fz_e, p_b, m_b, fz_b], precision=_PRECISION_EB)
     return Ep, Em, Ez_s, Bp, Bm, Bz_s
 
 

@@ -175,10 +175,32 @@ def banded_column_resort(padded, zmin, invdz, Nz, K, band,
     channels + the (Cg, K) block gather).
 
     Returns dict(padded=list, valid=(Nz, K) bool, n_over=int32) like
-    build_column_sort.  ``n_over`` counts BOTH per-row kept candidates
-    beyond K (column overflow, as the flat sort) and live particles
-    whose column escaped the band (impossible while the band bound
-    holds -- counted so a violation is loud, not silent loss).
+    build_column_sort.  ``n_over`` counts per-row kept candidates
+    beyond K (column overflow, as the flat sort) plus any live
+    particle left unplaced (impossible by construction -- counted so
+    a violation is loud, not silent loss).
+
+    f32 knife edge (advisor r4 / the r5 full-sort-fallback regression):
+    recomputing col = floor(invdz*(z - zmin)) each step against a
+    MOVING zmin is only reproducible to ~ULP(Nz) ~ 6e-5 cells, so a
+    few tens of particles per step (at bench size) sit close enough to
+    a cell edge that their col flips by one relative to last step's
+    assignment; combined with a genuine 1-cell move that is a 2-row
+    jump -- past the band.  Escapees are therefore CLAMPED into the
+    nearest in-band row instead of dropped.  This is exact-in-effect:
+    (a) an escapee is by construction within ~1e-4 cells of the edge
+    between its clamped row and its true column, so either assignment
+    is an equally valid column sort of its physical position; (b) the
+    deposit/gather offset windows (sorted_deposit fused windows,
+    pallas_gather) were already widened by one cell each way for this
+    same knife edge, and the clamped row keeps every offset inside
+    them (ceil(zc-0.5)-1 of an edge particle lands BETWEEN the two
+    candidate columns); (c) the window roll cancels secular drift, so
+    a clamped particle's offset is invariant for roll-comoving motion
+    and the next re-sort re-places it exactly (the lag lasts one
+    step).  Without the clamp the n_over>0 full-sort fallback in
+    core/step fires nearly every step (measured r5: an 8.7 ms/step
+    flat sort hidden inside the banded branch at bench size).
 
     For periodic z the column residue is centered (seam crossers stay
     in band; the candidate rolls wrap, matching the geometry).  For
@@ -200,15 +222,68 @@ def banded_column_resort(padded, zmin, invdz, Nz, K, band,
     delta = expand(col) - dest
     if zfold == "periodic":
         delta = jnp.mod(delta + Nz // 2, Nz) - Nz // 2
-    kept = expand(live) & (delta == 0)
+    # The candidate copy in block o at dest row r comes from origin
+    # row r + o (jnp.roll(a, -o)), so col - origin = delta - o and a
+    # particle belongs at dest = origin + clip(col - origin), i.e. at
+    # the copy where clip(delta - o, -band, band) == -o.  For in-band
+    # particles this reduces to the exact delta == 0 match; for an
+    # escapee (|col - origin| = band + 1, the knife edge) it keeps the
+    # nearest in-band row.  Exactly one copy matches per live particle.
+    off = jnp.repeat(jnp.arange(-band, band + 1, dtype=jnp.int32), K)
+    kept = expand(live) & (jnp.clip(delta - off[None, :],
+                                    -band, band) == -off[None, :])
+    if zfold != "periodic":
+        # expand() wraps rows at the z edges (jnp.roll); with exact
+        # delta == 0 matching a wrapped copy could never match, but
+        # the clamp above would double-keep an edge particle through
+        # its wrapped copy -- mask copies whose true origin row
+        # (dest + o) falls outside the grid.
+        origin = dest + off[None, :]
+        kept = kept & (origin >= 0) & (origin < Nz)
+    # Sort ONLY the int32 lane key, then gather the payload channels
+    # by the resulting permutation.  A variadic row-wise lax.sort
+    # carrying all ~14 payload channels through the sort network costs
+    # ~bytes-proportional (measured 8.7 ms/step at bench size -- it,
+    # not the full-sort fallback, was the dominant step cost); the
+    # 1-operand key sort + grouped permutation gathers do the same
+    # job in ~1.5 ms.  The kept lane index IS the key, so the sorted
+    # prefix [:K] directly lists each dest row's source lanes in
+    # stable (block-major, then slot) order -- identical packing to
+    # the variadic sort it replaces.
     key = jnp.where(kept, jnp.arange(M, dtype=jnp.int32)[None, :], M)
-    outs = jax.lax.sort((key,) + tuple(expand(a) for a in padded),
-                        dimension=1, num_keys=1)
-    valid = outs[0][:, :K] < M
-    new_padded = [o[:, :K] for o in outs[1:]]
+    key_sorted = jax.lax.sort(key, dimension=1)
+    lane = key_sorted[:, :K]
+    valid = lane < M
+    lane_c = jnp.where(valid, lane, 0)
+    # lane -> (offset block, slot) -> source position in the ORIGINAL
+    # (Nz, K) layout: block b holds roll(a, -(b - band)), i.e. the
+    # copy at dest row r came from origin row r + (b - band).
+    src_row = dest + (lane_c // K - band)
+    src_row = jnp.mod(src_row, Nz)
+    flat = (src_row * K + lane_c % K).reshape(-1)
+    # One gather per dtype group (trailing stacked channels ride free
+    # on TPU; per-channel gathers would pay the index cost n times)
+    groups = {}
+    for i, a in enumerate(padded):
+        groups.setdefault(a.dtype, []).append(i)
+    new_padded = [None] * len(padded)
+    for dt, idxs in groups.items():
+        S = jnp.stack([padded[i].reshape(-1) for i in idxs], axis=-1)
+        G = S[flat].reshape(Nz, K, len(idxs))
+        G = jnp.where(valid[..., None], G, jnp.zeros((), dt))
+        for j, i in enumerate(idxs):
+            new_padded[i] = G[..., j]
     kept_per_row = jnp.sum(kept, axis=1)
-    n_over = (jnp.sum(jnp.maximum(kept_per_row - K, 0))
-              + (jnp.sum(live) - jnp.sum(kept))).astype(jnp.int32)
+    n_col_over = jnp.sum(jnp.maximum(kept_per_row - K, 0))
+    n_unplaced = jnp.sum(live) - jnp.sum(kept)
+    if _os.environ.get("FBPIC_TPU_DEBUG_RESORT"):
+        # Host callback: CPU/interpret debugging only (the axon TPU
+        # tunnel does not support host callbacks)
+        jax.debug.print(
+            "banded resort: col_over={o} unplaced={u} clamped={c}",
+            o=n_col_over, u=n_unplaced,
+            c=jnp.sum(kept & (delta != 0)))
+    n_over = (n_col_over + n_unplaced).astype(jnp.int32)
     return dict(padded=new_padded, valid=valid, n_over=n_over)
 
 

@@ -302,3 +302,52 @@ def test_resident_on_mesh_lwfa_parity():
     # same gate as the non-resident mesh LWFA test: the deviation is
     # the per-slab current-correction locality
     assert err < 5e-3
+
+
+def test_banded_resort_clamps_knife_edge_escapees():
+    """A particle whose recomputed column is band+1 rows from its
+    stored row (the f32 knife edge: col = floor(invdz*(z - zmin))
+    recomputed against a moving zmin is only ~ULP(Nz)-reproducible)
+    must be CLAMPED into the nearest in-band row, not dropped: without
+    the clamp the n_over>0 full-sort fallback in core/step fired
+    nearly every step at production size (8.7 ms/step hidden flat
+    sort, r5).  Checks both zfolds, both escape directions, weight
+    conservation, and that in-band particles still sort exactly."""
+    from fbpic_tpu.particles.sorted_deposit import banded_column_resort
+
+    Nz, K, band = 12, 4, 1
+    dz = 1.0
+    rng = np.random.RandomState(3)
+
+    for zfold in ("periodic", "clamp"):
+        # Exact column sort: row i holds 2 live particles at z in cell i
+        z = np.zeros((Nz, K))
+        w = np.zeros((Nz, K))
+        for i in range(Nz):
+            z[i, :2] = i + rng.uniform(0.2, 0.8, 2)
+            w[i, :2] = 1.0
+        # Escapees: stored in row 5 / row 8 but physically 2 cells away
+        z[5, 2] = 5 + 2 + 0.5     # col = 7 = row + band + 1
+        w[5, 2] = 3.0
+        z[8, 2] = 8 - 2 + 0.5     # col = 6 = row - band - 1
+        w[8, 2] = 5.0
+        x = rng.rand(Nz, K)
+        padded = (x, x.copy(), z, w)
+        out = banded_column_resort(
+            tuple(jnp.asarray(a) for a in padded), 0.0, 1.0 / dz,
+            Nz, K, band, zfold=zfold)
+        assert int(out["n_over"]) == 0, zfold
+        w2 = np.asarray(out["padded"][3])
+        z2 = np.asarray(out["padded"][2])
+        valid = np.asarray(out["valid"])
+        # Weight conserved (nothing dropped)
+        np.testing.assert_allclose(np.sum(w2[valid]), np.sum(w), rtol=0)
+        # The forward escapee sits in its nearest in-band row (6),
+        # the backward one in row 7
+        assert 3.0 in w2[5 + band][valid[5 + band]], zfold
+        assert 5.0 in w2[8 - band][valid[8 - band]], zfold
+        # Every in-band particle is in its exact column
+        col2 = np.floor(z2).astype(int)
+        row = np.arange(Nz)[:, None] * np.ones((1, K), int)
+        inband = valid & (w2 != 3.0) & (w2 != 5.0)
+        np.testing.assert_array_equal(col2[inband], row[inband])
